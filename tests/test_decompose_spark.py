@@ -1,0 +1,56 @@
+"""The Spark decompose operator returns the same rings as the pure kernel,
+for every fixture at once, through Arrow batches (no shuffle)."""
+
+from __future__ import annotations
+
+from simplepolygon_spark.decompose import decompose
+from simplepolygon_spark.operators.decompose import (
+    POLYGONS_SCHEMA,
+    decompose_polygons,
+)
+from simplepolygon_spark.sources.fixtures import all_decomposable_fixtures
+
+
+def _to_float_rings(rings):
+    return [[[float(x), float(y)] for x, y in ring] for ring in rings]
+
+
+def test_spark_matches_kernel(spark):
+    fixtures = all_decomposable_fixtures()
+    rows = [(name, _to_float_rings(rings)) for name, rings in sorted(fixtures.items())]
+    df = spark.createDataFrame(rows, POLYGONS_SCHEMA)
+    out = decompose_polygons(df).collect()
+
+    by_pid: dict[str, list] = {}
+    for r in out:
+        by_pid.setdefault(r.polygon_id, []).append(r)
+    assert set(by_pid) == set(fixtures)
+
+    for name, rings in fixtures.items():
+        expected = decompose(_to_float_rings(rings))
+        got = sorted(by_pid[name], key=lambda r: r.ring_index)
+        assert len(got) == len(expected)
+        for g, e in zip(got, expected):
+            assert [list(c) for c in g.coords] == e["coords"]
+            assert g.parent == e["parent"]
+            assert g.winding == e["winding"]
+            assert g.net_winding == e["net_winding"]
+            assert g.is_indexed == (e["index"] is not None)
+
+
+def test_no_shuffle_in_plan(spark):
+    fixtures = all_decomposable_fixtures()
+    rows = [(name, _to_float_rings(r)) for name, r in fixtures.items()]
+    df = spark.createDataFrame(rows, POLYGONS_SCHEMA)
+    plan = decompose_polygons(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # decomposition must not shuffle
+
+
+def test_on_error_skip(spark):
+    rows = [
+        ("good", _to_float_rings([[[0, 0], [2, 0], [0, 2], [2, 2], [0, 0]]])),
+        ("bad-dup", _to_float_rings([[[0, 0], [2, 0], [1, 1], [0, 2], [1, 3], [2, 2], [1, 1], [0, 0]]])),
+    ]
+    df = spark.createDataFrame(rows, POLYGONS_SCHEMA)
+    out = decompose_polygons(df, on_error="skip").collect()
+    assert {r.polygon_id for r in out} == {"good"}
