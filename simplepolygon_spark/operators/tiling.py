@@ -1,0 +1,242 @@
+"""Cell-cover tiling: compressed cell→ring interval index + PIP join.
+
+The scale architecture (SURVEY.md §2.3 J5, §3.4; Raster-Intervals idea
+from PAPERS.md):
+
+1. ``build_interval_index`` — the *dimension* side.  Decomposed simple
+   rings (rings_out) are covered with FULL/PARTIAL quadkey cells
+   (cells.cover_ring), compressed into sorted Morton [lo, hi] ranges,
+   flattened into an elementary-segment stabbing structure (CSR), and
+   **broadcast** to every executor.  Size: O(cells of all rings) — the
+   polygon layer is small next to the 10^12-row image table by design.
+
+2. ``pip_join`` — the *fact* side.  Images stream through ``mapInArrow``
+   with **no shuffle**: each Arrow batch computes its points' cells
+   (numpy bit-math, identical to the JVM/SQL cell expression), stabs
+   the broadcast index (two searchsorted + CSR gather, fully
+   vectorized), accepts FULL-cell hits outright, and refines only
+   PARTIAL-cell candidates with the exact ray-cast PIP kernel.
+
+At 1000 executors this plan reads the image table once, moves no image
+bytes across the network, and does O(log m) work per image — the only
+driver-side step is building/broadcasting the index from the (small)
+ring layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..cells import MAX_LEVEL, cell_of_point, cover_ring
+from ..geom import point_in_ring_batch
+
+
+@dataclass
+class IntervalIndex:
+    """Broadcastable compressed cell→ring interval index."""
+
+    ring_keys: list  # (polygon_id, ring_index)
+    rings: list  # list of float64 [N,2] coordinate arrays
+    bp: np.ndarray  # elementary-segment breakpoints (sorted int64)
+    seg_ptr: np.ndarray  # CSR pointers into seg_ids per elementary segment
+    seg_ids: np.ndarray  # interval ids active in each elementary segment
+    iv_ring: np.ndarray  # interval id -> ring id
+    iv_full: np.ndarray  # interval id -> FULL flag (bool)
+    max_level: int = MAX_LEVEL
+    stats: dict = field(default_factory=dict)
+
+    def lookup(self, lon: np.ndarray, lat: np.ndarray):
+        """Vectorized stabbing: points → candidate (point_idx, ring_id,
+        full) triples. A point may hit several rings."""
+        if len(self.bp) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.zeros(0, dtype=bool)
+        cells = cell_of_point(lon, lat, self.max_level).astype(np.int64)
+        pos = np.searchsorted(self.bp, cells, side="right") - 1
+        valid = pos >= 0
+        pos = np.where(valid, pos, 0)
+        start = self.seg_ptr[pos]
+        stop = self.seg_ptr[pos + 1]
+        cnt = np.where(valid, stop - start, 0)
+        pt_idx = np.repeat(np.arange(len(cells), dtype=np.int64), cnt)
+        # gather the CSR slices: offsets within each slice
+        total = int(cnt.sum())
+        if total == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.zeros(0, dtype=bool)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        iv = self.seg_ids[np.repeat(start, cnt) + offs]
+        return pt_idx, self.iv_ring[iv], self.iv_full[iv]
+
+    def refine(self, lon, lat, pt_idx, ring_id, full):
+        """Exact-PIP refine of PARTIAL candidates; FULL pass through.
+        Returns filtered (pt_idx, ring_id)."""
+        keep = np.array(full, dtype=bool, copy=True)
+        part = ~keep
+        if part.any():
+            pi, ri = pt_idx[part], ring_id[part]
+            ok = np.zeros(len(pi), dtype=bool)
+            for r in np.unique(ri):
+                m = ri == r
+                ok[m] = point_in_ring_batch(lon[pi[m]], lat[pi[m]], self.rings[r])
+            keep[part] = ok
+        return pt_idx[keep], ring_id[keep]
+
+
+def build_interval_index(
+    rings_out: DataFrame | list,
+    cover_level: int = 11,
+    max_level: int = MAX_LEVEL,
+) -> IntervalIndex:
+    """Build the broadcastable index from a rings_out DataFrame (or an
+    already-collected list of Rows/dicts with polygon_id, ring_index,
+    coords).
+
+    Only rings with positive *net* winding participate by default
+    semantics of "the cleaned polygon interior": callers filter upstream
+    if they want a different layer (we index whatever is passed in).
+    """
+    rows = rings_out.collect() if isinstance(rings_out, DataFrame) else rings_out
+    ring_keys, rings = [], []
+    ivs = []  # (lo, hi, ring_id, full)
+    for row in rows:
+        pid = row["polygon_id"]
+        ridx = row["ring_index"]
+        coords = np.asarray([list(c) for c in row["coords"]], dtype=np.float64)
+        rid = len(rings)
+        ring_keys.append((pid, int(ridx)))
+        rings.append(coords)
+        cov = cover_ring(coords, max_level=cover_level, abs_max=max_level)
+        for lo, hi, fl in cov:
+            ivs.append((int(lo), int(hi), rid, int(fl)))
+
+    if not ivs:
+        return IntervalIndex(
+            ring_keys,
+            rings,
+            np.zeros(0, np.int64),
+            np.zeros(1, np.int64),
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+            np.zeros(0, bool),
+            max_level,
+        )
+
+    iv = np.array(ivs, dtype=np.int64)
+    lo, hi = iv[:, 0], iv[:, 1]
+    # elementary segments between all endpoints; sweep with +1/-1 events
+    events = np.concatenate([lo, hi + 1])
+    bp = np.unique(events)
+    n_iv = len(iv)
+    # For each elementary segment [bp[k], bp[k+1]-1] find active intervals.
+    # CSR built by bucketing each interval onto the segments it spans.
+    seg_of_lo = np.searchsorted(bp, lo, side="right") - 1
+    seg_of_hi = np.searchsorted(bp, hi, side="right") - 1
+    span = seg_of_hi - seg_of_lo + 1
+    tot = int(span.sum())
+    iv_rep = np.repeat(np.arange(n_iv, dtype=np.int64), span)
+    seg_rep = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(span) - span, span) + np.repeat(seg_of_lo, span)
+    order = np.argsort(seg_rep, kind="stable")
+    seg_sorted = seg_rep[order]
+    ids_sorted = iv_rep[order]
+    counts = np.bincount(seg_sorted, minlength=len(bp))
+    seg_ptr = np.zeros(len(bp) + 1, dtype=np.int64)
+    np.cumsum(counts, out=seg_ptr[1:])
+
+    idx = IntervalIndex(
+        ring_keys,
+        rings,
+        bp,
+        seg_ptr,
+        ids_sorted,
+        iv[:, 2].copy(),
+        iv[:, 3].astype(bool),
+        max_level,
+        stats={
+            "n_rings": len(rings),
+            "n_intervals": n_iv,
+            "n_full": int(iv[:, 3].sum()),
+            "n_segments": len(bp),
+            "csr_entries": tot,
+        },
+    )
+    return idx
+
+
+def broadcast_index(spark: SparkSession, index: IntervalIndex):
+    return spark.sparkContext.broadcast(index)
+
+
+def pip_join(
+    points: DataFrame,
+    index_bc,
+    id_col: str = "image_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """points(id, lon, lat, ...) ⨝ broadcast ring index → tile assignments.
+
+    Output: (id_col, lon, lat, polygon_id, ring_index) — one row per
+    (point, containing simple ring). Strict interior semantics
+    (boundary points excluded), matching the reference's
+    booleanPointInPolygon(ignoreBoundary=true) parent test.
+    """
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.string()),
+            pa.field("lon", pa.float64()),
+            pa.field("lat", pa.float64()),
+            pa.field("polygon_id", pa.string()),
+            pa.field("ring_index", pa.int32()),
+        ]
+    )
+
+    def run(batches):
+        idx: IntervalIndex = index_bc.value
+        for batch in batches:
+            tbl = batch
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            lon = tbl.column(lon_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            lat = tbl.column(lat_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            pt_idx, ring_id, full = idx.lookup(lon, lat)
+            pt_idx, ring_id = idx.refine(lon, lat, pt_idx, ring_id, full)
+            if len(pt_idx) == 0:
+                continue
+            pids = [idx.ring_keys[r][0] for r in ring_id]
+            ridxs = np.array([idx.ring_keys[r][1] for r in ring_id], dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[pt_idx], pa.string()),
+                    pa.array(lon[pt_idx]),
+                    pa.array(lat[pt_idx]),
+                    pa.array(pids, pa.string()),
+                    pa.array(ridxs, pa.int32()),
+                ],
+                schema=out_schema,
+            )
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    spark_schema = StructType(
+        [
+            StructField(id_col, StringType()),
+            StructField("lon", DoubleType()),
+            StructField("lat", DoubleType()),
+            StructField("polygon_id", StringType()),
+            StructField("ring_index", IntegerType()),
+        ]
+    )
+    return points.select(id_col, lon_col, lat_col).mapInArrow(run, spark_schema)

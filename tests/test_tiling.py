@@ -1,0 +1,72 @@
+"""PIP-join parity vs a brute-force numpy oracle over all (point, ring)
+pairs (join output rows must match exactly — BASELINE.json:6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from simplepolygon_spark.geom import point_in_ring_batch
+from simplepolygon_spark.operators.decompose import decompose_polygons
+from simplepolygon_spark.operators.tiling import (
+    broadcast_index,
+    build_interval_index,
+    pip_join,
+)
+from simplepolygon_spark.sources.footprints import WINDOW, footprints_df
+
+
+def _points(n=3000, seed=11):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(WINDOW[0] - 5, WINDOW[2] + 5, n)
+    lat = rng.uniform(WINDOW[1] - 5, WINDOW[3] + 5, n)
+    ids = np.array([f"img{i:09d}" for i in range(n)])
+    return ids, lon, lat
+
+
+def test_pip_join_matches_bruteforce_oracle(spark):
+    fp = footprints_df(spark, grid=3)
+    rings_out = decompose_polygons(fp)
+    rows = rings_out.collect()
+    index = build_interval_index(rows, cover_level=9)
+    assert index.stats["n_intervals"] > 0
+    bc = broadcast_index(spark, index)
+
+    ids, lon, lat = _points()
+    pts = spark.createDataFrame(
+        pd.DataFrame({"image_id": ids, "lon": lon, "lat": lat})
+    ).repartition(8)
+    got = {
+        (r.image_id, r.polygon_id, r.ring_index)
+        for r in pip_join(pts, bc).collect()
+    }
+
+    expected = set()
+    for row in rows:
+        ring = np.asarray([list(c) for c in row["coords"]])
+        inside = point_in_ring_batch(lon, lat, ring)
+        for i in np.nonzero(inside)[0]:
+            expected.add((ids[i], row["polygon_id"], row["ring_index"]))
+
+    missing = expected - got
+    extra = got - expected
+    assert not missing, f"{len(missing)} missing, e.g. {sorted(missing)[:3]}"
+    assert not extra, f"{len(extra)} extra, e.g. {sorted(extra)[:3]}"
+    assert len(expected) > 50  # the oracle actually exercised fan-out
+
+
+def test_pip_join_plan_has_no_shuffle(spark):
+    fp = footprints_df(spark, grid=2)
+    index = build_interval_index(decompose_polygons(fp).collect(), cover_level=8)
+    bc = broadcast_index(spark, index)
+    ids, lon, lat = _points(100)
+    pts = spark.createDataFrame(pd.DataFrame({"image_id": ids, "lon": lon, "lat": lat}))
+    plan = pip_join(pts, bc)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_full_cells_reduce_refine_work(spark):
+    # index stats expose the Raster-Intervals shortcut: FULL intervals exist
+    fp = footprints_df(spark, grid=2)
+    index = build_interval_index(decompose_polygons(fp).collect(), cover_level=10)
+    assert index.stats["n_full"] > 0
