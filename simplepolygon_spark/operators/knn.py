@@ -1,0 +1,100 @@
+"""kNN join: k nearest simple rings per query point (SURVEY.md §2.3 J6).
+
+Distance metric: Euclidean lon/lat distance to the ring *centroid*
+(mean of the ring's vertices, closing vertex excluded) — documented
+engine semantics; ties break on ring id for determinism.
+
+Scale plan: the ring layer is the broadcastable dim side, so the right
+physical strategy is **broadcast + per-batch vectorized top-k** — each
+Arrow batch computes a B×R distance matrix in numpy and argpartitions
+to k, emitting B·k rows with *no shuffle and no window sort*.  The
+window-function formulation (candidate join → row_number() ≤ k) exists
+as ``knn_join_window`` for oracle parity and for the case where the
+ring side outgrows a broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def knn_join(
+    points: DataFrame,
+    index_bc,
+    k: int = 3,
+    id_col: str = "image_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """points → (id, polygon_id, ring_index, dist, rank 1..k)."""
+    schema = f"{id_col} string, polygon_id string, ring_index int, dist double, rank int"
+
+    def run(batches):
+        idx = index_bc.value
+        cents = idx.centroids
+        keys = idx.ring_keys
+        R = len(cents)
+        kk = min(k, R)
+        if R == 0:
+            return
+        for batch in batches:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            lon = batch.column(lon_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            lat = batch.column(lat_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            if len(ids) == 0:
+                continue
+            d2 = (lon[:, None] - cents[None, :, 0]) ** 2 + (
+                lat[:, None] - cents[None, :, 1]
+            ) ** 2
+            # top-k with deterministic tie-break on ring id:
+            # lexsort per row over (ring_id, d2) — d2 primary
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            rows_i = np.repeat(np.arange(len(ids)), kk)
+            cand_d = d2[rows_i, part.ravel()].reshape(len(ids), kk)
+            order = np.lexsort((part, cand_d), axis=1)
+            sel = np.take_along_axis(part, order, axis=1)
+            seld = np.take_along_axis(cand_d, order, axis=1)
+            out_id = np.repeat(ids, kk)
+            out_ring = sel.ravel()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.string()),
+                    pa.array([keys[r][0] for r in out_ring], pa.string()),
+                    pa.array(
+                        np.array([keys[r][1] for r in out_ring], np.int32), pa.int32()
+                    ),
+                    pa.array(np.sqrt(seld.ravel())),
+                    pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32), len(ids)), pa.int32()),
+                ],
+                names=[id_col, "polygon_id", "ring_index", "dist", "rank"],
+            )
+
+    return points.select(id_col, lon_col, lat_col).mapInArrow(run, schema)
+
+
+def knn_join_window(
+    points: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Relational formulation: broadcast-join points × ring centroids,
+    rank with a window.  ``centroids``: (polygon_id, ring_index, cx, cy).
+    Same output contract as ``knn_join`` — used as its oracle."""
+    j = points.crossJoin(F.broadcast(centroids))
+    d = j.withColumn(
+        "dist",
+        F.sqrt(
+            (F.col("lon") - F.col("cx")) ** 2 + (F.col("lat") - F.col("cy")) ** 2
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "polygon_id", "ring_index")
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "polygon_id", "ring_index", "dist", F.col("rank").cast("int"))
+    )

@@ -49,6 +49,7 @@ class IntervalIndex:
     iv_full: np.ndarray  # interval id -> FULL flag (bool)
     max_level: int = MAX_LEVEL
     stats: dict = field(default_factory=dict)
+    centroids: np.ndarray = field(default_factory=lambda: np.zeros((0, 2)))
 
     def lookup(self, lon: np.ndarray, lat: np.ndarray):
         """Vectorized stabbing: points → candidate (point_idx, ring_id,
@@ -74,6 +75,34 @@ class IntervalIndex:
         )
         iv = self.seg_ids[np.repeat(start, cnt) + offs]
         return pt_idx, self.iv_ring[iv], self.iv_full[iv]
+
+    def overlap(self, qlo: np.ndarray, qhi: np.ndarray):
+        """Vectorized interval-overlap query: for each [qlo, qhi] Morton
+        range, the ring ids whose cover overlaps it.  Returns
+        (query_idx, ring_id) pairs (deduplicated per query).
+
+        Exploits the CSR layout: the union of active sets over the
+        elementary segments intersecting the query range is one
+        contiguous ``seg_ids`` slice + unique."""
+        if len(self.bp) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        qlo = np.asarray(qlo, np.int64)
+        qhi = np.asarray(qhi, np.int64)
+        k0 = np.maximum(np.searchsorted(self.bp, qlo, side="right") - 1, 0)
+        k1 = np.searchsorted(self.bp, qhi, side="right") - 1
+        out_q, out_r = [], []
+        for qi in np.nonzero(k1 >= 0)[0]:
+            a = self.seg_ptr[k0[qi]]
+            b = self.seg_ptr[k1[qi] + 1]
+            if b > a:
+                rings = np.unique(self.iv_ring[np.unique(self.seg_ids[a:b])])
+                out_q.append(np.full(len(rings), qi, dtype=np.int64))
+                out_r.append(rings)
+        if not out_q:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        return np.concatenate(out_q), np.concatenate(out_r)
 
     def refine(self, lon, lat, pt_idx, ring_id, full):
         """Exact-PIP refine of PARTIAL candidates; FULL pass through.
@@ -117,6 +146,11 @@ def build_interval_index(
         for lo, hi, fl in cov:
             ivs.append((int(lo), int(hi), rid, int(fl)))
 
+    centroids = (
+        np.array([r[:-1].mean(axis=0) for r in rings])
+        if rings
+        else np.zeros((0, 2))
+    )
     if not ivs:
         return IntervalIndex(
             ring_keys,
@@ -127,6 +161,7 @@ def build_interval_index(
             np.zeros(0, np.int64),
             np.zeros(0, bool),
             max_level,
+            centroids=centroids,
         )
 
     iv = np.array(ivs, dtype=np.int64)
@@ -166,6 +201,7 @@ def build_interval_index(
             "n_segments": len(bp),
             "csr_entries": tot,
         },
+        centroids=centroids,
     )
     return idx
 

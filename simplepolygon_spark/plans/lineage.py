@@ -1,0 +1,99 @@
+"""Per-partition lineage + exact resume (SURVEY.md §2.1 S7).
+
+The unit of resumability is a *logical* partition: a deterministic
+``part_id = pmod(xxhash64(image_id), P)`` assigned to every input row —
+stable across runs, executors, and cluster sizes (unlike Spark's
+physical partition ids).  A completed part writes:
+
+  results:  <out>/data/part_id=<k>/*.parquet   (partitioned write)
+  lineage:  <out>/_lineage/*.parquet           (one row per part)
+            (run_id, part_id, n_rows, n_bytes, checksum)
+
+``checksum`` is an order-insensitive xxhash64 aggregate of the output
+rows, computed JVM-side.  Resume = read the lineage log, anti-join the
+done part_ids, process only the remainder, append — after executor
+loss (or a mid-run kill) the union of data files for done parts is
+exactly what a clean run produces, verified by the kill/resume test.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SUBDIR = "_lineage"
+DATA_SUBDIR = "data"
+
+
+def with_part_id(df: DataFrame, id_col: str, num_parts: int) -> DataFrame:
+    """Deterministic logical partition id from the row id (JVM-side)."""
+    return df.withColumn(
+        "part_id", F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_parts)).cast("int")
+    )
+
+
+def done_part_ids(spark: SparkSession, out_dir: str) -> set[int]:
+    path = os.path.join(out_dir, LINEAGE_SUBDIR)
+    try:
+        rows = spark.read.parquet(path).select("part_id").distinct().collect()
+    except Exception:
+        return set()
+    return {r.part_id for r in rows}
+
+
+def remaining(df_with_part: DataFrame, spark: SparkSession, out_dir: str) -> DataFrame:
+    """Filter out rows of already-completed logical partitions."""
+    done = done_part_ids(spark, out_dir)
+    if not done:
+        return df_with_part
+    return df_with_part.filter(~F.col("part_id").isin(sorted(done)))
+
+
+def lineage_metrics(result: DataFrame, run_id: str) -> DataFrame:
+    """Per-part metric rows from a result that carries ``part_id``.
+
+    n_bytes: sum of the approximate row payload (length of all string
+    columns + 8 per numeric) — a cheap, deterministic byte metric.
+    checksum: bit_xor of xxhash64 over all non-part columns — order-insensitive and overflow-free under ANSI mode.
+    """
+    cols = [c for c in result.columns if c != "part_id"]
+    row_hash = F.xxhash64(*[F.col(c) for c in cols])
+    byte_len = sum(
+        (F.length(F.col(c).cast("string")).cast("long") for c in cols),
+        F.lit(0).cast("long"),
+    )
+    return result.groupBy("part_id").agg(
+        F.lit(run_id).alias("run_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(byte_len).alias("n_bytes"),
+        F.bit_xor(row_hash).alias("checksum"),
+    )
+
+
+def write_with_lineage(
+    result: DataFrame, out_dir: str, run_id: str, all_part_ids: DataFrame
+) -> None:
+    """Write result data partitioned by part_id + append lineage rows.
+
+    ``all_part_ids``: single-column DF of every part_id processed in
+    this run (parts may legitimately produce zero result rows — they
+    still must be marked done or resume would re-run them forever).
+    """
+    data_path = os.path.join(out_dir, DATA_SUBDIR)
+    lin_path = os.path.join(out_dir, LINEAGE_SUBDIR)
+    result.write.mode("append").partitionBy("part_id").parquet(data_path)
+    metrics = lineage_metrics(result, run_id)
+    full = (
+        all_part_ids.select(F.col("part_id").cast("int"))
+        .distinct()
+        .join(metrics, "part_id", "left")
+        .fillna({"n_rows": 0, "n_bytes": 0, "checksum": 0})
+        .withColumn("run_id", F.coalesce(F.col("run_id"), F.lit(run_id)))
+    )
+    full.write.mode("append").parquet(lin_path)
+
+
+def read_result(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, DATA_SUBDIR))

@@ -1,0 +1,102 @@
+"""Kill/resume equivalence: a run interrupted after K partitions, then
+resumed, produces byte-identical results to one clean run
+(BASELINE.json:6,14 resumability gate)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from simplepolygon_spark.operators.decompose import decompose_polygons
+from simplepolygon_spark.operators.tiling import broadcast_index, build_interval_index
+from simplepolygon_spark.plans.lineage import done_part_ids, read_result
+from simplepolygon_spark.plans.pipeline import run_pipeline, salted_ring_stats
+from simplepolygon_spark.sources.footprints import footprints_df
+from simplepolygon_spark.sources.images import images_df
+
+
+def _setup(spark):
+    rows = decompose_polygons(footprints_df(spark, grid=3)).collect()
+    return broadcast_index(spark, build_interval_index(rows, cover_level=9))
+
+
+def _result_set(spark, out_dir):
+    return {
+        (r.image_id, r.polygon_id, r.ring_index, r.part_id)
+        for r in read_result(spark, out_dir).collect()
+    }
+
+
+def test_kill_resume_equals_clean_run(spark, tmp_path):
+    bc = _setup(spark)
+    imgs = images_df(spark, 1500, partitions=8, with_bytes=False)
+
+    clean_dir = str(tmp_path / "clean")
+    run_pipeline(spark, imgs, bc, clean_dir, run_id="clean", num_parts=16)
+    clean = _result_set(spark, clean_dir)
+    assert len(clean) > 0
+
+    crash_dir = str(tmp_path / "crash")
+    # "crash" after 5 of 16 logical partitions
+    run_pipeline(spark, imgs, bc, crash_dir, run_id="r1", num_parts=16, fail_after_parts=5)
+    assert len(done_part_ids(spark, crash_dir)) == 5
+    # resume processes exactly the remaining 11, no duplicates
+    run_pipeline(spark, imgs, bc, crash_dir, run_id="r2", num_parts=16)
+    assert len(done_part_ids(spark, crash_dir)) == 16
+    assert _result_set(spark, crash_dir) == clean
+
+    # idempotence: a third invocation does nothing
+    run_pipeline(spark, imgs, bc, crash_dir, run_id="r3", num_parts=16)
+    assert _result_set(spark, crash_dir) == clean
+
+
+def test_lineage_checksums_match_between_runs(spark, tmp_path):
+    bc = _setup(spark)
+    imgs = images_df(spark, 800, partitions=4, with_bytes=False)
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    run_pipeline(spark, imgs, bc, d1, run_id="x", num_parts=8)
+    run_pipeline(spark, imgs, bc, d2, run_id="y", num_parts=8)
+    l1 = {
+        (r.part_id, r.n_rows, r.checksum)
+        for r in spark.read.parquet(d1 + "/_lineage").collect()
+    }
+    l2 = {
+        (r.part_id, r.n_rows, r.checksum)
+        for r in spark.read.parquet(d2 + "/_lineage").collect()
+    }
+    assert l1 == l2  # deterministic pipeline → identical lineage
+
+
+def test_salted_ring_stats_matches_plain_groupby(spark):
+    bc = _setup(spark)
+    imgs = images_df(spark, 1200, partitions=6, with_bytes=False)
+    from simplepolygon_spark.operators.tiling import pip_join
+
+    asg = pip_join(imgs, bc).cache()
+    salted = {
+        (r.polygon_id, r.ring_index, r.n_images, r.image_hash_xor)
+        for r in salted_ring_stats(asg, salt_buckets=8).collect()
+    }
+    plain = {
+        (r.polygon_id, r.ring_index, r.n_images, r.image_hash_xor)
+        for r in asg.groupBy("polygon_id", "ring_index")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.bit_xor(F.xxhash64("image_id")).alias("image_hash_xor"),
+        )
+        .collect()
+    }
+    asg.unpersist()
+    assert salted == plain
+
+
+def test_skew_knob_creates_hot_rings(spark):
+    # the generator's hot cell must concentrate assignments — the reason
+    # salting exists; if this fails the skew test scenario is vacuous
+    imgs = images_df(spark, 3000, partitions=6, with_bytes=False)
+    hot = imgs.filter(
+        (F.col("lon") > 129.9) & (F.col("lon") < 130.2)
+        & (F.col("lat") > -25.2) & (F.col("lat") < -24.8)
+    ).count()
+    assert hot > 200
