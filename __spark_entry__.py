@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship spatial-join pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 over the driver testdata tables; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (the others get
+rows-only checks).
+
+Shared SQL fragments (point derivation, cell bit-math, unrolled ray-cast
+PIP) are generated once and used verbatim by both engines so values
+match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -12,27 +16,594 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simplepolygon_spark.deploy import ensure_shipped as _ship
+from simplepolygon_spark.functions.cells_sql import cell_sql_expr
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (identical text for Spark SQL and DuckDB)
+# --------------------------------------------------------------------------
+
+LON_SQL = "(((CAST(event_id AS DOUBLE) * 0.6180339887498949) - floor(CAST(event_id AS DOUBLE) * 0.6180339887498949)) * 360.0 - 180.0)"
+LAT_SQL = "(((CAST(event_id AS DOUBLE) * 0.3819660112501051) - floor(CAST(event_id AS DOUBLE) * 0.3819660112501051)) * 170.0 - 85.0)"
+
+# two fixed simple rings for the PIP oracle (closed, CCW)
+PIP_RINGS = {
+    "tri": [(-120.0, -40.0), (40.0, -55.0), (-10.0, 60.0), (-120.0, -40.0)],
+    "rect": [(60.0, -20.0), (160.0, -20.0), (160.0, 50.0), (60.0, 50.0), (60.0, -20.0)],
+}
+
+
+def _pip_sql(ring, x: str, y: str) -> str:
+    """Unrolled strict ray-cast (boundary excluded is measure-zero for
+    the derived points) — identical text for both engines."""
+    terms = []
+    n = len(ring) - 1
+    for i in range(n):
+        xi, yi = ring[i]
+        xj, yj = ring[(i - 1) % n]
+        if yi == yj:
+            continue  # horizontal edge: never crossed by the ray, and
+            # emitting it would divide by zero under Spark ANSI mode
+        terms.append(
+            f"(CASE WHEN (({yi} > {y}) != ({yj} > {y})) AND "
+            f"({x} < ({xj} - {xi}) * ({y} - {yi}) / ({yj} - {yi}) + {xi}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+STOPWORDS_SQL = "'the','a','of','and','to','in','is','for','on','with'"
+LANGS = {
+    "de": ("der", "und", "ist"),
+    "en": ("the", "and", "of"),
+    "es": ("el", "y", "es"),
+    "fr": ("le", "et", "est"),
+    "zh": ("de", "shi", "le"),
+}
+
+
+def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.selectExpr(
+        "event_id", f"{LON_SQL} AS lon", f"{LAT_SQL} AS lat"
+    )
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _ship(spark)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: decompose the fixture footprint grid, build the
+    broadcast interval index, PIP-join the sf0.001 event-derived points,
+    and aggregate per-ring stats with salting."""
+    from simplepolygon_spark.operators.decompose import decompose_polygons
+    from simplepolygon_spark.operators.tiling import (
+        broadcast_index,
+        build_interval_index,
+        pip_join,
+    )
+    from simplepolygon_spark.plans.pipeline import salted_ring_stats
+    from simplepolygon_spark.sources.footprints import footprints_df
+
+    _ship(spark)
+    rings = decompose_polygons(footprints_df(spark, grid=3))
+    index = build_interval_index(rings.collect(), cover_level=9)
+    bc = broadcast_index(spark, index)
+    pts = _events_points(spark, "/root/testdata/sf0.001").selectExpr(
+        "CAST(event_id AS STRING) AS image_id", "lon", "lat"
+    )
+    asg = pip_join(pts, bc)
+    return salted_ring_stats(asg).orderBy("polygon_id", "ring_index")
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+
+def q_decompose_rings(spark, sf_dir):
+    """C1-C5: decomposition summary per fixture footprint (rows-only)."""
+    from simplepolygon_spark.operators.decompose import decompose_polygons
+    from simplepolygon_spark.sources.footprints import footprints_df
+
+    _ship(spark)
+    out = decompose_polygons(footprints_df(spark, grid=2))
+    return out.select(
+        "polygon_id",
+        "ring_index",
+        "parent",
+        "winding",
+        "net_winding",
+        F.size("coords").alias("n_vertices"),
+    ).orderBy("polygon_id", "ring_index")
+
+
+def q_cell_ids(spark, sf_dir):
+    c12 = cell_sql_expr("lon", "lat", 12)
+    c16 = cell_sql_expr("lon", "lat", 16)
+    return _events_points(spark, sf_dir).selectExpr(
+        "event_id",
+        f"{c12} AS cell12",
+        f"{c16} AS cell16",
+        f"(({c16}) >> 8) AS cell16_parent12",
+    )
+
+
+def _q_cell_ids_sql():
+    c12 = cell_sql_expr("lon", "lat", 12)
+    c16 = cell_sql_expr("lon", "lat", 16)
+    return f"""
+        WITH pts AS (SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events)
+        SELECT event_id, {c12} AS cell12, {c16} AS cell16,
+               (({c16}) >> 8) AS cell16_parent12
+        FROM pts
+    """
+
+
+def q_pip_join(spark, sf_dir):
+    """J5: engine pip_join (interval index + mapInArrow refine) against
+    two fixed rings; oracle is the unrolled ray-cast in SQL."""
+    from simplepolygon_spark.operators.decompose import (
+        POLYGONS_SCHEMA,
+        decompose_polygons,
+    )
+    from simplepolygon_spark.operators.tiling import (
+        broadcast_index,
+        build_interval_index,
+        pip_join,
+    )
+
+    polys = spark.createDataFrame(
+        [
+            (name, [[[float(x), float(y)] for x, y in ring]])
+            for name, ring in PIP_RINGS.items()
+        ],
+        POLYGONS_SCHEMA,
+    )
+    rings = decompose_polygons(polys)
+    bc = broadcast_index(spark, build_interval_index(rings.collect(), cover_level=9))
+    pts = _events_points(spark, sf_dir).selectExpr(
+        "CAST(event_id AS STRING) AS event_id", "lon", "lat"
+    )
+    return (
+        pip_join(pts, bc, id_col="event_id")
+        .select("event_id", "polygon_id")
+        .orderBy("event_id", "polygon_id")
+    )
+
+
+def _q_pip_join_sql():
+    parts = []
+    for name, ring in PIP_RINGS.items():
+        parts.append(
+            f"""SELECT CAST(event_id AS VARCHAR) AS event_id, '{name}' AS polygon_id
+                FROM (SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events)
+                WHERE {_pip_sql(ring, 'lon', 'lat')}"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+KNN_CENTROIDS = [
+    ("c0", -120.0, -40.0),
+    ("c1", -10.0, 10.0),
+    ("c2", 80.0, 35.0),
+    ("c3", 150.0, -60.0),
+]
+
+
+def q_knn(spark, sf_dir):
+    """J6: k=2 nearest fixed centroids per event point (window form)."""
+    from simplepolygon_spark.operators.knn import knn_join_window
+
+    pts = _events_points(spark, sf_dir).withColumnRenamed("event_id", "image_id")
+    cents = spark.createDataFrame(
+        [(cid, 0, x, y) for cid, x, y in KNN_CENTROIDS],
+        "polygon_id string, ring_index int, cx double, cy double",
+    )
+    return (
+        knn_join_window(pts, cents, k=2, id_col="image_id")
+        .selectExpr("CAST(image_id AS BIGINT) AS event_id", "polygon_id AS cid", "rank")
+        .orderBy("event_id", "rank")
+    )
+
+
+def _q_knn_sql():
+    cent_rows = ", ".join(f"('{c}', {x}, {y})" for c, x, y in KNN_CENTROIDS)
+    return f"""
+        WITH pts AS (SELECT event_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM events),
+        cents(cid, cx, cy) AS (VALUES {cent_rows}),
+        d AS (SELECT event_id, cid,
+                     sqrt((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)) AS dist
+              FROM pts CROSS JOIN cents),
+        r AS (SELECT event_id, cid,
+                     row_number() OVER (PARTITION BY event_id ORDER BY dist, cid) AS rank
+              FROM d)
+        SELECT event_id, cid, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 2
+    """
+
+
+def q_window_lead(spark, sf_dir):
+    """W1: successor linking as lead() over (user, time) — the relational
+    form of nxtIsectAlongEdgeIn."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lead("event_id").over(w).alias("next_event_id"),
+    ).orderBy("event_id")
+
+
+def _q_window_lead_sql():
+    return """
+        SELECT event_id, user_id,
+               lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+        FROM events
+    """
+
+
+def q_minby_leftmost(spark, sf_dir):
+    """A2: arg-min per group (leftmost-vertex pattern) via window."""
+    from pyspark.sql import Window
+
+    c = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+        .orderBy("c_nationkey")
+    )
+
+
+def _q_minby_sql():
+    return """
+        SELECT c_nationkey, c_custkey, c_acctbal FROM (
+          SELECT c_nationkey, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn
+          FROM customer) WHERE rn = 1
+    """
+
+
+def q_interval_join(spark, sf_dir):
+    """J7 pattern: key + date-range interval join, aggregated."""
+    l = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    j = l.join(
+        o,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate <= F.date_add(o.o_orderdate, 90)),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("double")).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_interval_join_sql():
+    return """
+        SELECT o_orderpriority, count(*) AS n_items,
+               sum(CAST(l_quantity AS DOUBLE)) AS sum_qty
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+         AND l_shipdate >= o_orderdate
+         AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        GROUP BY o_orderpriority
+    """
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase salted aggregation == plain GROUP BY."""
+    l = _read(spark, sf_dir, "lineitem")
+    salted = l.withColumn("salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("l_quantity").cast("double")).alias("s"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(F.sum("c").alias("n_rows"), F.sum("s").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+def _q_salted_agg_sql():
+    return """
+        SELECT l_returnflag, count(*) AS n_rows,
+               sum(CAST(l_quantity AS DOUBLE)) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+
+def q_exact_dedup(spark, sf_dir):
+    from simplepolygon_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_read(spark, sf_dir, "documents")).orderBy("text_hash")
+
+
+def _q_exact_dedup_sql():
+    return """
+        SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+        FROM documents GROUP BY md5(text)
+    """
+
+
+def q_fingerprints(spark, sf_dir):
+    from simplepolygon_spark.operators.text import fingerprints
+
+    return fingerprints(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_fingerprints_sql():
+    return """
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """
+
+
+def q_token_counts(spark, sf_dir):
+    from simplepolygon_spark.operators.text import token_counts
+
+    return token_counts(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_token_counts_sql():
+    return r"""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_pieces
+        FROM documents
+    """
+
+
+def q_quality(spark, sf_dir):
+    """Quality counters (exact integers for engine-portable hashing)."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), "\\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_SQL.replace("'", "").split(",")])
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        F.regexp_count("text", F.lit("[^a-zA-Z0-9\\s]")).alias("n_punct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+        F.size(toks).alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+def _q_quality_sql():
+    return rf"""
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars_m,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS INTEGER) AS n_punct,
+               CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                        x -> list_contains([{STOPWORDS_SQL}], x))) AS INTEGER) AS n_stop,
+               CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER) AS n_tokens
+        FROM documents
+    """
+
+
+def q_lang_id(spark, sf_dir):
+    from simplepolygon_spark.operators.text import lang_id
+
+    return lang_id(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_lang_id_sql():
+    score = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{m}\\b'))" for m in marks
+        )
+        for lang, marks in sorted(LANGS.items())
+    }
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(LANGS)) + ")"
+    whens = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(LANGS)
+    )
+    return f"""
+        WITH s AS (SELECT doc_id, {', '.join(f'({v}) AS s_{k}' for k, v in score.items())} FROM documents),
+        b AS (SELECT doc_id, {best} AS best, * FROM s)
+        SELECT doc_id, CASE WHEN best = 0 THEN 'und' {whens} ELSE 'und' END AS lang_guess FROM b
+    """
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from simplepolygon_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, k=5, threshold=0.5, block_col="lang").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _q_ngram_jaccard_sql():
+    return """
+        WITH sh AS (
+          SELECT doc_id, lang,
+                 list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                               i -> substr(lower(text), i, 5))) AS s
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.5
+    """
+
+
+def q_embedding_dups(spark, sf_dir):
+    from simplepolygon_spark.operators.dedup import embedding_dup_pairs
+
+    e = _read(spark, sf_dir, "embeddings")
+    return (
+        embedding_dup_pairs(e, threshold=0.9, block_col="label")
+        .select("vec_a", "vec_b")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _q_embedding_dups_sql():
+    return """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.9
+    """
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (window form): 3 fixed query vectors."""
+    from simplepolygon_spark.operators.similarity import cosine_topk_window
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = (
+        e.where(F.col("vec_id").isin([0, 7, 42]))
+        .selectExpr("vec_id AS query_id", "CAST(embedding AS array<double>) AS embedding")
+    )
+    corp = e.selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding")
+    return (
+        cosine_topk_window(corp, q, k=5)
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _q_cosine_topk_sql():
+    return """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id IN (0, 7, 42)),
+        d AS (SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+              FROM embeddings e CROSS JOIN q),
+        r AS (SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+              FROM d)
+        SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5
+    """
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH verified pairs (not SQL-expressible → rows-only)."""
+    from simplepolygon_spark.operators.dedup import minhash_dup_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    return minhash_dup_pairs(d, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash signatures + banded near-dup pairs (rows-only)."""
+    from simplepolygon_spark.operators.dedup import simhash_dup_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    return simhash_dup_pairs(d, max_hamming=8).orderBy("doc_a", "doc_b")
+
+
+def q_crosswalk(spark, sf_dir):
+    """J7 raster↔vector crosswalk over event-derived tiles (rows-only)."""
+    from simplepolygon_spark.operators.crosswalk import crosswalk
+    from simplepolygon_spark.operators.decompose import decompose_polygons
+    from simplepolygon_spark.operators.tiling import (
+        broadcast_index,
+        build_interval_index,
+    )
+    from simplepolygon_spark.sources.footprints import footprints_df
+
+    _ship(spark)
+    rings = decompose_polygons(footprints_df(spark, grid=2))
+    bc = broadcast_index(spark, build_interval_index(rings.collect(), cover_level=8))
+    tiles = _events_points(spark, sf_dir).selectExpr(
+        "CAST(event_id AS STRING) AS image_id",
+        "lon - 0.5 AS lon_min",
+        "lat - 0.5 AS lat_min",
+        "lon + 0.5 AS lon_max",
+        "lat + 0.5 AS lat_max",
+    )
+    return crosswalk(tiles, bc, level=10).orderBy(
+        "image_id", "cell_id", "polygon_id", "ring_index"
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate ANN (rows-only; recall tested in the suite)."""
+    import numpy as np
+
+    from simplepolygon_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    sample = e.orderBy("vec_id").limit(200).toPandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, np.float64) for r in sample.itertuples()}
+    C = kmeans_centroids(np.stack(list(vecs.values())), n_centroids=8, iters=5)
+    queries = {q: vecs[q] for q in (1, 13) if q in vecs}
+    return (
+        ivf_topk(e, queries, C, k=5, probes=3)
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "decompose_rings": q_decompose_rings,
+        "cell_ids": q_cell_ids,
+        "pip_join": q_pip_join,
+        "knn": q_knn,
+        "window_lead": q_window_lead,
+        "minby_leftmost": q_minby_leftmost,
+        "interval_join": q_interval_join,
+        "salted_agg": q_salted_agg,
+        "exact_dedup": q_exact_dedup,
+        "fingerprints": q_fingerprints,
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_dups": q_embedding_dups,
+        "cosine_topk": q_cosine_topk,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "crosswalk": q_crosswalk,
+        "ivf_topk": q_ivf_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cell_ids": _q_cell_ids_sql(),
+        "pip_join": _q_pip_join_sql(),
+        "knn": _q_knn_sql(),
+        "window_lead": _q_window_lead_sql(),
+        "minby_leftmost": _q_minby_sql(),
+        "interval_join": _q_interval_join_sql(),
+        "salted_agg": _q_salted_agg_sql(),
+        "exact_dedup": _q_exact_dedup_sql(),
+        "fingerprints": _q_fingerprints_sql(),
+        "token_counts": _q_token_counts_sql(),
+        "quality": _q_quality_sql(),
+        "lang_id": _q_lang_id_sql(),
+        "ngram_jaccard": _q_ngram_jaccard_sql(),
+        "embedding_dups": _q_embedding_dups_sql(),
+        "cosine_topk": _q_cosine_topk_sql(),
+        # decompose_rings, minhash_pairs, simhash, crosswalk, ivf_topk:
+        # not SQL-expressible → rows-only checks
+    }

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Engine benchmark — one JSON line on stdout (driver contract).
+
+Headline queries: the flagship spatial-join + tiling path (decompose →
+interval index → PIP join → salted agg) over 100k generated images and
+a 8×8 footprint grid, plus the operator families (kNN, crosswalk,
+payload validation, interval join, salted agg, dedup, ANN, text) at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] cores (default 32)
+  BENCH_IMAGES         image count for the spatial join (default 100000)
+
+Scaling runs (local[8] vs local[32]) are produced by
+scripts/scaling_bench.py, which invokes this file at two parallelism
+levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_images = int(os.environ.get("BENCH_IMAGES", "100000"))
+
+    from pyspark.sql import functions as F
+
+    from simplepolygon_spark.session import get_spark
+    from simplepolygon_spark.operators.decompose import decompose_polygons
+    from simplepolygon_spark.operators.tiling import (
+        broadcast_index,
+        build_interval_index,
+        pip_join,
+    )
+    from simplepolygon_spark.operators.knn import knn_join
+    from simplepolygon_spark.operators.crosswalk import crosswalk
+    from simplepolygon_spark.operators.payload import validate_payload
+    from simplepolygon_spark.plans.pipeline import salted_ring_stats
+    from simplepolygon_spark.sources.footprints import footprints_df
+    from simplepolygon_spark.sources.images import images_df
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", parallelism=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- flagship: spatial join + tiling over generated images ---------
+    fp = footprints_df(spark, grid=8)
+    rings_df = decompose_polygons(fp).persist()
+    timed("decompose", rings_df.count)
+    index = timed(
+        "build_index", lambda: build_interval_index(rings_df, cover_level=10)
+    )
+    bc = broadcast_index(spark, index)
+
+    imgs = images_df(spark, n_images, partitions=2 * cpus, with_bytes=False).cache()
+    imgs.count()  # materialize outside the timed join
+
+    n_assign = timed("pip_join", lambda: pip_join(imgs, bc).count())
+    timed(
+        "ring_stats",
+        lambda: salted_ring_stats(pip_join(imgs, bc)).count(),
+    )
+    timed("knn", lambda: knn_join(imgs, bc, k=3).count())
+    timed("crosswalk", lambda: crosswalk(imgs.limit(20000), bc, level=12).count())
+
+    imgs_bytes = images_df(spark, 20000, partitions=2 * cpus, with_bytes=True)
+    timed(
+        "payload_validate",
+        lambda: validate_payload(imgs_bytes)
+        .where((F.col("psnr_db") < 40) | ~F.col("caption_ok"))
+        .count(),
+    )
+    imgs.unpersist()
+
+    # --- operator families over the driver testdata --------------------
+    Q = entrymod.queries()
+    for name in (
+        "interval_join",
+        "salted_agg",
+        "minhash_pairs",
+        "cosine_topk",
+        "token_counts",
+        "quality",
+        "embedding_dups",
+    ):
+        timed(name, lambda name=name: Q[name](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    join_secs = timings["pip_join"]
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join+tiling and operator suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "images": n_images,
+                "assignments": n_assign,
+                "images_per_sec": round(n_images / join_secs, 1) if join_secs else None,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

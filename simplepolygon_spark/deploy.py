@@ -1,0 +1,46 @@
+"""Self-shipping: make the package importable on Spark workers.
+
+A driver that merely has this repo on its own ``sys.path`` (not in
+PYTHONPATH) starts workers that cannot unpickle our Arrow UDFs —
+``ModuleNotFoundError: simplepolygon_spark``.  ``ensure_shipped``
+zips the package once and registers it with ``addPyFile`` so every
+executor fetches it, matching the spark-submit --py-files contract
+(BASELINE.json:14) without requiring the caller to manage env vars.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED_ATTR = "_simplepolygon_spark_shipped"
+
+
+def package_zip() -> str:
+    """Zip of the installed package (cached per process)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(
+        tempfile.gettempdir(), f"simplepolygon_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(out):
+        with zipfile.ZipFile(out, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            "simplepolygon_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        z.write(full, rel)
+    return out
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if getattr(sc, _SHIPPED_ATTR, False):
+        return
+    sc.addPyFile(package_zip())
+    setattr(sc, _SHIPPED_ATTR, True)

@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths with identical results contract:
+
+  cosine_topk_window — relational: broadcast the (small) query set,
+      JVM zip_with/aggregate dot products, row_number window per query.
+      Fully SQL-expressible → serves as the DuckDB oracle shape.
+  cosine_topk_arrow  — scale path: queries broadcast as a numpy matrix,
+      each corpus Arrow batch does one matmul + argpartition per query
+      — no shuffle, no window sort; the 100 TB plan.
+
+  ivf_topk           — IVF approximate path: deterministic k-means
+      (seeded, driver-side on a sample) → corpus partitioned by nearest
+      centroid → queries probe the P nearest centroid lists only.
+      Trades recall for a candidate-set bound; recall measured in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_expr(col):
+    return F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_topk_window(
+    corpus: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """(query_id, vec_id, cosine, rank) — relational formulation.
+
+    corpus: (vec_id, embedding); queries: (query_id, embedding).
+    """
+    c = corpus.select("vec_id", F.col("embedding").alias("cv"), _norm_expr(F.col("embedding")).alias("cn"))
+    q = queries.select("query_id", F.col("embedding").alias("qv"), _norm_expr(F.col("embedding")).alias("qn"))
+    j = c.crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("cv", "qv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cos = dot / (F.col("cn") * F.col("qn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        j.select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame, queries_np: dict[int, np.ndarray], k: int = 5
+) -> DataFrame:
+    """Scale path: per-batch matmul top-k, then a single tiny global
+    top-k per query (tree-reduced by Spark's sort of B·Q·k rows).
+
+    ``queries_np``: query_id → float64 vector (already on the driver —
+    the query set is small by definition of top-k search).
+    """
+    qids = sorted(queries_np)
+    Q = np.stack([np.asarray(queries_np[q], np.float64) for q in qids])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    schema = "query_id long, vec_id long, cosine double"
+
+    def run(batches):
+        for batch in batches:
+            vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            if len(vids) == 0:
+                continue
+            En = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = En @ Qn.T  # B × Q
+            kk = min(k, len(vids))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # kk × Q
+            o_q, o_v, o_c = [], [], []
+            for qi, qid in enumerate(qids):
+                sel = top[:, qi]
+                o_q.extend([qid] * kk)
+                o_v.extend(vids[sel].tolist())
+                o_c.extend(np.round(sims[sel, qi], 6).tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_q, pa.int64()),
+                    pa.array(o_v, pa.int64()),
+                    pa.array(o_c, pa.float64()),
+                ],
+                names=["query_id", "vec_id", "cosine"],
+            )
+
+    partial = corpus.select("vec_id", "embedding").mapInArrow(run, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def kmeans_centroids(
+    vectors: np.ndarray, n_centroids: int = 16, iters: int = 8, seed: int = 3
+) -> np.ndarray:
+    """Deterministic plain k-means (numpy, driver-side on a sample)."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(vectors, np.float64)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(len(C)):
+            m = a == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    return C
+
+
+def ivf_assign(corpus: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Add ``centroid_id`` = nearest centroid per corpus vector."""
+    schema = "vec_id long, centroid_id int"
+
+    def run(batches):
+        C = np.asarray(centroids, np.float64)
+        for batch in batches:
+            vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            if len(vids) == 0:
+                continue
+            emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            d = ((emb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vids.astype(np.int64), pa.int64()),
+                    pa.array(d.argmin(axis=1).astype(np.int32), pa.int32()),
+                ],
+                names=["vec_id", "centroid_id"],
+            )
+
+    return corpus.select("vec_id", "embedding").mapInArrow(run, schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries_np: dict[int, np.ndarray],
+    centroids: np.ndarray,
+    k: int = 5,
+    probes: int = 4,
+) -> DataFrame:
+    """Probe the ``probes`` nearest centroid lists per query, exact
+    cosine within the candidate set.  At scale the corpus is stored
+    partitioned/bucketed by centroid_id, so the filter prunes file
+    groups instead of scanning the corpus."""
+    assign = ivf_assign(corpus, centroids)
+    with_cid = corpus.join(assign, "vec_id")
+    C = np.asarray(centroids, np.float64)
+    out = None
+    for qid, qv in queries_np.items():
+        d = ((C - np.asarray(qv, np.float64)[None, :]) ** 2).sum(axis=1)
+        probe_ids = [int(x) for x in np.argsort(d, kind="stable")[:probes]]
+        cand = with_cid.where(F.col("centroid_id").isin(probe_ids))
+        r = cosine_topk_arrow(cand, {qid: qv}, k)
+        out = r if out is None else out.unionByName(r)
+    return out

@@ -1,0 +1,98 @@
+"""Text-analysis operators over the documents table — all JVM-side
+column expressions (whole-stage codegen; zero Python in the hot path).
+
+Operators a 100 TB training-data pipeline runs per document:
+  token_counts   — whitespace tokens + BPE-ish regex piece count
+  quality_scores — length / punctuation / stopword / upper ratios + score
+  lang_id        — marker-n-gram language guess (deterministic heuristic)
+  fingerprints   — md5 fingerprint of whitespace/punct-normalized text
+                   (md5 chosen for engine-portable oracles)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+# BPE-ish pieces: runs of letters, runs of digits, single other non-space
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "ist"),
+    "fr": ("le", "et", "est"),
+    "es": ("el", "y", "es"),
+    "zh": ("de", "shi", "le"),
+}
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_pieces): whitespace tokens and regex pieces."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), "\\s+")).alias("n_tokens"),
+        F.regexp_count("text", F.lit(BPE_PATTERN)).alias("n_pieces"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features + a combined [0,1]-ish score.
+
+    score = 0.4·len_norm + 0.3·(1−punct_ratio) + 0.3·stop_ratio — a
+    deterministic heuristic in the spirit of C4/Gopher quality rules.
+    """
+    toks = F.split(F.lower(F.trim("text")), "\\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = F.regexp_count("text", F.lit("[^a-zA-Z0-9\\s]"))
+    n_chars = F.length("text")
+    len_norm = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(
+            0.4 * len_norm + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio, 6
+        ).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language guess: argmax of per-language marker counts,
+    deterministic tie-break by language code order; 'und' when no marker
+    fires."""
+    scores = [
+        (
+            lang,
+            sum(
+                (F.regexp_count(F.lower("text"), F.lit(f"\\b{m}\\b")) for m in marks),
+                F.lit(0),
+            ),
+        )
+        for lang, marks in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    guess = F.lit("und")
+    # first language (in sorted order) achieving the max wins
+    for lang, s in reversed(scores):
+        guess = F.when(s == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best == 0, F.lit("und")).otherwise(guess)
+    return docs.select("doc_id", guess.alias("lang_guess"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """md5 of lowercase text with punctuation stripped and whitespace
+    collapsed — the canonical near-exact-dedup key."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))

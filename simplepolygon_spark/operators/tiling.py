@@ -132,19 +132,34 @@ def build_interval_index(
     semantics of "the cleaned polygon interior": callers filter upstream
     if they want a different layer (we index whatever is passed in).
     """
-    rows = rings_out.collect() if isinstance(rings_out, DataFrame) else rings_out
+    cover_rows = None
+    if isinstance(rings_out, DataFrame):
+        # compute covers on the executors (one Arrow pass over the ring
+        # layer) — the driver only collects the compressed intervals
+        cover_rows = _covers_distributed(rings_out, cover_level, max_level)
+        rows = rings_out.select("polygon_id", "ring_index", "coords").collect()
+    else:
+        rows = rings_out
+
     ring_keys, rings = [], []
     ivs = []  # (lo, hi, ring_id, full)
+    rid_of = {}
     for row in rows:
         pid = row["polygon_id"]
-        ridx = row["ring_index"]
+        ridx = int(row["ring_index"])
         coords = np.asarray([list(c) for c in row["coords"]], dtype=np.float64)
-        rid = len(rings)
-        ring_keys.append((pid, int(ridx)))
+        rid_of[(pid, ridx)] = len(rings)
+        ring_keys.append((pid, ridx))
         rings.append(coords)
-        cov = cover_ring(coords, max_level=cover_level, abs_max=max_level)
-        for lo, hi, fl in cov:
-            ivs.append((int(lo), int(hi), rid, int(fl)))
+    if cover_rows is None:
+        for (pid, ridx), coords in zip(ring_keys, rings):
+            cov = cover_ring(coords, max_level=cover_level, abs_max=max_level)
+            rid = rid_of[(pid, ridx)]
+            for lo, hi, fl in cov:
+                ivs.append((int(lo), int(hi), rid, int(fl)))
+    else:
+        for pid, ridx, lo, hi, fl in cover_rows:
+            ivs.append((int(lo), int(hi), rid_of[(pid, int(ridx))], int(fl)))
 
     centroids = (
         np.array([r[:-1].mean(axis=0) for r in rings])
@@ -204,6 +219,40 @@ def build_interval_index(
         centroids=centroids,
     )
     return idx
+
+
+def _covers_distributed(rings_out: DataFrame, cover_level: int, max_level: int):
+    """Run cover_ring on the executors; returns collected
+    (polygon_id, ring_index, lo, hi, full) tuples."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {"polygon_id": [], "ring_index": [], "lo": [], "hi": [], "full": []}
+            for pid, ridx, coords in zip(
+                pdf["polygon_id"], pdf["ring_index"], pdf["coords"]
+            ):
+                arr = np.asarray([list(c) for c in coords], dtype=np.float64)
+                cov = cover_ring(arr, max_level=cover_level, abs_max=max_level)
+                for lo, hi, fl in cov:
+                    out["polygon_id"].append(pid)
+                    out["ring_index"].append(int(ridx))
+                    out["lo"].append(int(lo))
+                    out["hi"].append(int(hi))
+                    out["full"].append(int(fl))
+            if not out["polygon_id"]:
+                continue
+            pdf_out = pd.DataFrame(out)
+            pdf_out["ring_index"] = pdf_out["ring_index"].astype("int32")
+            pdf_out["full"] = pdf_out["full"].astype("int32")
+            yield pdf_out
+
+    schema = "polygon_id string, ring_index int, lo long, hi long, full int"
+    df = rings_out.select("polygon_id", "ring_index", "coords")
+    n = df.rdd.getNumPartitions()
+    if n < 8:
+        df = df.repartition(16)
+    return [tuple(r) for r in df.mapInPandas(run, schema).collect()]
 
 
 def broadcast_index(spark: SparkSession, index: IntervalIndex):

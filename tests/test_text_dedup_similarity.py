@@ -1,0 +1,182 @@
+"""Training-data operators over the driver testdata (documents /
+embeddings), cross-checked against DuckDB / numpy oracles."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from simplepolygon_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dup_groups,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from simplepolygon_spark.operators.similarity import (
+    cosine_topk_arrow,
+    cosine_topk_window,
+    ivf_topk,
+    kmeans_centroids,
+)
+from simplepolygon_spark.operators.text import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_token_counts_vs_duckdb(docs):
+    got = {r.doc_id: (r.n_tokens, r.n_pieces) for r in token_counts(docs).collect()}
+    con = duckdb.connect()
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"""SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_pieces
+                FROM '{SF}/documents.parquet'"""
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_fingerprints_vs_duckdb(docs):
+    got = {r.doc_id: r.fingerprint for r in fingerprints(docs).collect()}
+    con = duckdb.connect()
+    exp = dict(
+        con.execute(
+            f"""SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+                FROM '{SF}/documents.parquet'"""
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_quality_and_lang_deterministic(docs):
+    q1 = sorted(map(tuple, quality_scores(docs).collect()))
+    q2 = sorted(map(tuple, quality_scores(docs).collect()))
+    assert q1 == q2
+    langs = {r.lang_guess for r in lang_id(docs).collect()}
+    assert langs <= {"en", "de", "fr", "es", "zh", "und"}
+
+
+def test_exact_dup_groups(spark, docs):
+    # testdata has no exact dups; add two to prove the operator fires
+    extra = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    groups = exact_dup_groups(docs.unionByName(extra))
+    dups = groups.filter(F.col("n_docs") > 1).collect()
+    assert len(dups) == 2
+    assert all(r.n_docs == 2 for r in dups)
+
+
+def test_ngram_jaccard_and_minhash_consistency(spark, docs):
+    """MinHash+LSH is a recall-oriented approximation of exact Jaccard:
+    every high-similarity pair it returns must be verified-correct, and
+    at θ=0.8 its verified pairs must contain all exact pairs ≥ 0.9
+    found by the exhaustive operator (generous LSH margin)."""
+    small = docs.limit(120).cache()
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(small, k=5, threshold=0.30, block_col="lang").collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_dup_pairs(small, threshold=0.30).collect()
+    }
+    # verification step makes every MinHash pair exact-correct
+    for pair, jac in mh.items():
+        assert jac >= 0.30
+    # pairs in the same block found by exact must appear in minhash
+    # results when similarity is well above the LSH threshold
+    for pair, jac in exact.items():
+        if jac >= 0.9:
+            assert pair in mh
+    small.unpersist()
+
+
+def test_simhash_pairs_are_low_hamming(docs):
+    pairs = simhash_dup_pairs(docs.limit(150), max_hamming=10).collect()
+    for r in pairs:
+        assert r.hamming <= 10
+
+
+def test_embedding_dups_vs_duckdb(emb):
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_dup_pairs(emb, threshold=0.9, block_col="label").collect()
+    }
+    con = duckdb.connect()
+    exp = {
+        (a, b): round(c, 6)
+        for a, b, c in con.execute(
+            f"""SELECT a.vec_id, b.vec_id,
+                       list_cosine_similarity(a.embedding, b.embedding) AS c
+                FROM '{SF}/embeddings.parquet' a JOIN '{SF}/embeddings.parquet' b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9"""
+        ).fetchall()
+    }
+    assert set(got) == set(exp)
+    for pair in got:
+        assert abs(got[pair] - exp[pair]) < 1e-5
+
+
+def test_cosine_topk_window_vs_arrow_vs_numpy(spark, emb):
+    pdf = emb.toPandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, np.float64) for r in pdf.itertuples()}
+    qids = [0, 7, 42]
+    queries = {q: vecs[q] for q in qids}
+
+    arrow = cosine_topk_arrow(emb, queries, k=5).collect()
+    qdf = spark.createDataFrame(
+        [(q, queries[q].tolist()) for q in qids], "query_id long, embedding array<double>"
+    )
+    window = cosine_topk_window(emb, qdf, k=5).collect()
+
+    def key(rows):
+        return {(r.query_id, r.rank): r.vec_id for r in rows}
+
+    assert key(arrow) == key(window)
+
+    # numpy oracle
+    M = np.stack([vecs[i] for i in sorted(vecs)])
+    ids = np.array(sorted(vecs))
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for q in qids:
+        qs = queries[q] / np.linalg.norm(queries[q])
+        sims = Mn @ qs
+        order = np.lexsort((ids, -np.round(sims, 6)))[:5]
+        expect = ids[order].tolist()
+        got_q = [r.vec_id for r in sorted(arrow, key=lambda r: r.rank) if r.query_id == q]
+        assert got_q == expect
+
+
+def test_ivf_recall(spark, emb):
+    pdf = emb.toPandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, np.float64) for r in pdf.itertuples()}
+    sample = np.stack([vecs[i] for i in sorted(vecs)[:200]])
+    C = kmeans_centroids(sample, n_centroids=8, iters=5)
+    queries = {q: vecs[q] for q in (1, 13)}
+    exact = cosine_topk_arrow(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, C, k=5, probes=3).collect()
+    ex = {(r.query_id, r.vec_id) for r in exact}
+    ap = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6  # probes=3/8 of a 64-dim random corpus
