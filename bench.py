@@ -78,13 +78,23 @@ def main() -> None:
     timed("knn", lambda: knn_join(imgs, bc, k=3).count())
     timed("crosswalk", lambda: crosswalk(imgs.limit(20000), bc, level=12).count())
 
-    imgs_bytes = images_df(spark, 20000, partitions=2 * cpus, with_bytes=True)
+    imgs_bytes = images_df(spark, 20000, partitions=2 * cpus, with_bytes=True).cache()
+    imgs_bytes.count()
     timed(
         "payload_validate",
         lambda: validate_payload(imgs_bytes)
         .where((F.col("psnr_db") < 40) | ~F.col("caption_ok"))
         .count(),
     )
+    from simplepolygon_spark.operators.fused import validate_and_assign
+
+    timed(
+        "fused_validate_assign",
+        lambda: validate_and_assign(imgs_bytes, bc)
+        .where((F.col("psnr_db") < 40) | ~F.col("caption_ok"))
+        .count(),
+    )
+    imgs_bytes.unpersist()
     imgs.unpersist()
 
     # --- operator families over the driver testdata --------------------

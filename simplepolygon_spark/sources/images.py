@@ -74,21 +74,18 @@ def rle_encode(buf: np.ndarray) -> bytes:
     ends = np.concatenate([change, [len(b)]])
     runs = ends - starts
     vals = b[starts]
-    # split runs > 255
+    # split runs > 255 into pieces, fully vectorized
     n255 = runs // 255
     rem = runs % 255
-    counts_list = []
-    vals_list = []
-    for r, v, k, m in zip(runs, vals, n255, rem):
-        if k:
-            counts_list.extend([255] * int(k))
-            vals_list.extend([v] * int(k))
-        if m:
-            counts_list.append(int(m))
-            vals_list.append(v)
-    out = np.empty(2 * len(counts_list), dtype=np.uint8)
-    out[0::2] = counts_list
-    out[1::2] = vals_list
+    pieces = n255 + (rem > 0)
+    counts = np.full(int(pieces.sum()), 255, dtype=np.uint8)
+    last = np.cumsum(pieces) - 1
+    has_rem = rem > 0
+    counts[last[has_rem]] = rem[has_rem]
+    vals_out = np.repeat(vals, pieces)
+    out = np.empty(2 * len(counts), dtype=np.uint8)
+    out[0::2] = counts
+    out[1::2] = vals_out
     return out.tobytes()
 
 
