@@ -44,7 +44,7 @@ spark = get_spark(f"scale-{cpus}", parallelism=cpus,
 spark.sparkContext.setLogLevel("ERROR")
 rings = decompose_polygons(footprints_df(spark, grid=8))
 bc = broadcast_index(spark, build_interval_index(rings, cover_level=10))
-imgs = images_df(spark, n_images, partitions=48, with_bytes=True).persist()
+imgs = images_df(spark, n_images, partitions=96, with_bytes=True).persist()
 imgs.count()
 
 def job():
@@ -167,7 +167,7 @@ scan of the byte column) over
 the 100 TB pipeline.  Paired interleaved measurement (levels alternate
 in time so host-load variation cancels), median of
 {len(result['pair_efficiencies'])} pairs after warm-up; identical
-48-partition input at both levels.
+96-partition input at both levels.
 
 | level | median sec | images/sec |
 |---|---|---|
