@@ -58,24 +58,22 @@ def validate_and_assign(images: DataFrame, index_bc) -> DataFrame:
             pt_idx, ring_id, full = idx.lookup(lon, lat)
             pt_idx, ring_id = idx.refine(lon, lat, pt_idx, ring_id, full)
 
-            rows, o_pid, o_ri = [], [], []
             assigned = np.zeros(n, dtype=bool)
-            for p_i, r_i in zip(pt_idx, ring_id):
-                rows.append(int(p_i))
-                pid, ri = idx.ring_keys[r_i]
-                o_pid.append(pid)
-                o_ri.append(int(ri))
-                assigned[p_i] = True
-            for i in np.nonzero(~assigned)[0]:
-                rows.append(int(i))
-                o_pid.append(None)
-                o_ri.append(None)
-            rows_a = np.array(rows, dtype=np.intp)
+            assigned[pt_idx] = True
+            un = np.nonzero(~assigned)[0]
+            rows_a = np.concatenate([pt_idx, un]).astype(np.intp)
+            pids = np.concatenate([idx.ring_pid[ring_id], np.full(len(un), None, dtype=object)])
+            ridx = pa.concat_arrays(
+                [
+                    pa.array(idx.ring_ridx[ring_id], pa.int32()),
+                    pa.nulls(len(un), pa.int32()),
+                ]
+            )
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array([ids[r] for r in rows], pa.string()),
-                    pa.array(o_pid, pa.string()),
-                    pa.array(o_ri, pa.int32()),
+                    pa.array([ids[r] for r in rows_a], pa.string()),
+                    pa.array(pids, pa.string()),
+                    ridx,
                     pa.array(ps[rows_a]),
                     pa.array(cap_ok[rows_a]),
                 ],

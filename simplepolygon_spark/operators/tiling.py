@@ -51,6 +51,11 @@ class IntervalIndex:
     stats: dict = field(default_factory=dict)
     centroids: np.ndarray = field(default_factory=lambda: np.zeros((0, 2)))
 
+    def __post_init__(self):
+        # vectorized ring-key lookups for the hot join path
+        self.ring_pid = np.array([k[0] for k in self.ring_keys], dtype=object)
+        self.ring_ridx = np.array([k[1] for k in self.ring_keys], dtype=np.int32)
+
     def lookup(self, lon: np.ndarray, lat: np.ndarray):
         """Vectorized stabbing: points → candidate (point_idx, ring_id,
         full) triples. A point may hit several rings."""
@@ -294,8 +299,8 @@ def pip_join(
             pt_idx, ring_id = idx.refine(lon, lat, pt_idx, ring_id, full)
             if len(pt_idx) == 0:
                 continue
-            pids = [idx.ring_keys[r][0] for r in ring_id]
-            ridxs = np.array([idx.ring_keys[r][1] for r in ring_id], dtype=np.int32)
+            pids = idx.ring_pid[ring_id]
+            ridxs = idx.ring_ridx[ring_id]
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids[pt_idx], pa.string()),
@@ -305,7 +310,7 @@ def pip_join(
                     pa.array(ridxs, pa.int32()),
                 ],
                 schema=out_schema,
-            )
+            )  # all columns assembled by fancy indexing — no per-row Python
 
     from pyspark.sql.types import (
         DoubleType,
