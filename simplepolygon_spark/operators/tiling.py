@@ -109,6 +109,36 @@ class IntervalIndex:
             return z, z
         return np.concatenate(out_q), np.concatenate(out_r)
 
+    def overlap_batch(self, qlo: np.ndarray, qhi: np.ndarray):
+        """Fully vectorized interval-overlap for many query ranges at
+        once: one CSR gather over all queries (np.repeat offsets), then
+        a single np.unique dedup of (query, ring) pairs — no Python loop
+        over queries."""
+        if len(self.bp) == 0 or len(qlo) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        qlo = np.asarray(qlo, np.int64)
+        qhi = np.asarray(qhi, np.int64)
+        k0 = np.maximum(np.searchsorted(self.bp, qlo, side="right") - 1, 0)
+        k1 = np.searchsorted(self.bp, qhi, side="right") - 1
+        valid = k1 >= 0
+        a = self.seg_ptr[np.where(valid, k0, 0)]
+        b = self.seg_ptr[np.where(valid, k1, -1) + 1]
+        cnt = np.where(valid, np.maximum(b - a, 0), 0)
+        total = int(cnt.sum())
+        if total == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        q_rep = np.repeat(np.arange(len(qlo), dtype=np.int64), cnt)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        iv = self.seg_ids[np.repeat(a, cnt) + offs]
+        rid = self.iv_ring[iv]
+        # dedup (query, ring) — intervals spanning several segments and
+        # several intervals of one ring both collapse here
+        key = q_rep * np.int64(len(self.rings)) + rid
+        uniq = np.unique(key)
+        return uniq // len(self.rings), uniq % len(self.rings)
+
     def refine(self, lon, lat, pt_idx, ring_id, full):
         """Exact-PIP refine of PARTIAL candidates; FULL pass through.
         Returns filtered (pt_idx, ring_id)."""
