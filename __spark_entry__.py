@@ -562,6 +562,32 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_fused_validate_assign(spark, sf_dir):
+    """Fused single-pass validate+assign over 500 deterministic images
+    (rows-only: payload codec not SQL-expressible)."""
+    from pyspark.sql import functions as F2
+
+    from simplepolygon_spark.operators.decompose import decompose_polygons
+    from simplepolygon_spark.operators.fused import validate_and_assign
+    from simplepolygon_spark.operators.tiling import (
+        broadcast_index,
+        build_interval_index,
+    )
+    from simplepolygon_spark.sources.footprints import footprints_df
+    from simplepolygon_spark.sources.images import images_df
+
+    _ship(spark)
+    rings = decompose_polygons(footprints_df(spark, grid=2))
+    bc = broadcast_index(spark, build_interval_index(rings.collect(), cover_level=8))
+    imgs = images_df(spark, 500, partitions=4)
+    return (
+        validate_and_assign(imgs, bc)
+        .withColumn("psnr_ok", F2.col("psnr_db") >= 40)
+        .drop("psnr_db")
+        .orderBy("image_id", "polygon_id", "ring_index")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "decompose_rings": q_decompose_rings,
@@ -584,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "crosswalk": q_crosswalk,
         "ivf_topk": q_ivf_topk,
+        "fused_validate_assign": q_fused_validate_assign,
     }
 
 
@@ -604,6 +631,6 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _q_ngram_jaccard_sql(),
         "embedding_dups": _q_embedding_dups_sql(),
         "cosine_topk": _q_cosine_topk_sql(),
-        # decompose_rings, minhash_pairs, simhash, crosswalk, ivf_topk:
-        # not SQL-expressible → rows-only checks
+        # decompose_rings, minhash_pairs, simhash, crosswalk, ivf_topk,
+        # fused_validate_assign: not SQL-expressible → rows-only checks
     }

@@ -3,7 +3,8 @@
 
 Headline queries: the flagship spatial-join + tiling path (decompose →
 interval index → PIP join → salted agg) over 100k generated images and
-a 8×8 footprint grid, plus the operator families (kNN, crosswalk,
+a footprint grid (9216 polygons for decompose, 8×8 for the join dim
+side), plus the operator families (kNN, crosswalk,
 payload validation, interval join, salted agg, dedup, ANN, text) at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
@@ -12,9 +13,8 @@ Env:
   SPARK_GRAFT_CPUS     local[] cores (default 32)
   BENCH_IMAGES         image count for the spatial join (default 100000)
 
-Scaling runs (local[8] vs local[32]) are produced by
-scripts/scaling_bench.py, which invokes this file at two parallelism
-levels and writes BENCH/BASELINE.md.
+Scaling runs (local[3] vs local[12], N vs 4N cores) are produced by
+scripts/scaling_bench.py → BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -64,10 +64,11 @@ def main() -> None:
     import tempfile
 
     fp_dir = os.path.join(tempfile.gettempdir(), "bench_footprints")
-    footprints_df(spark, grid=24).write.mode("overwrite").parquet(fp_dir)
+    footprints_df(spark, grid=96).write.mode("overwrite").parquet(fp_dir)
     fp = spark.read.parquet(fp_dir)
     decompose_polygons(fp).count()  # warm the python workers
     rings_df = decompose_polygons(fp).persist()
+    n_polygons = fp.count()
     timed("decompose", rings_df.count)
     # the join index uses a smaller grid (the dim side stays broadcastable)
     rings_df8 = decompose_polygons(footprints_df(spark, grid=8)).persist()
@@ -133,6 +134,7 @@ def main() -> None:
                 "images": n_images,
                 "assignments": n_assign,
                 "images_per_sec": round(n_images / join_secs, 1) if join_secs else None,
+                "polygons_per_sec": round(n_polygons / timings["decompose"], 1),
                 "cpus": cpus,
             }
         )
