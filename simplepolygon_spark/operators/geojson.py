@@ -1,0 +1,127 @@
+"""GeoJSON string API — the reference's exact interface, columnar.
+
+A user of the reference calls ``simplepolygon(feature)`` with a GeoJSON
+``Feature<Polygon>`` and gets a ``FeatureCollection<Polygon>`` back
+(/root/reference/src/index.ts:39-41).  These operators give the same
+contract over DataFrame columns:
+
+  parse_geojson_features  — geojson string column → (polygon_id, rings)
+                            via JVM ``from_json`` (schema-checked; bad
+                            rows surface with NULL rings, error parity
+                            applied downstream)
+  decompose_geojson       — geojson strings in → one FeatureCollection
+                            JSON string per input feature, with the
+                            reference's property contract: index/parent/
+                            winding/netWinding, and NO ``index`` key on
+                            the zero-intersection fast path (quirk Q3).
+
+The FeatureCollection assembly is relational (collect_list of structs +
+to_json) so Catalyst handles it; only the decomposition kernel itself is
+an Arrow stage.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .decompose import decompose_polygons
+
+GEOJSON_GEOM_SCHEMA = (
+    "STRUCT<type: STRING, geometry: STRUCT<type: STRING, "
+    "coordinates: ARRAY<ARRAY<ARRAY<DOUBLE>>>>>"
+)
+
+
+def parse_geojson_features(
+    df: DataFrame, geojson_col: str = "geojson", id_col: str = "polygon_id"
+) -> DataFrame:
+    """geojson string column → (polygon_id, rings) for decompose_polygons.
+
+    Validation parity with /root/reference/src/index.ts:42-48: non-Feature,
+    missing geometry, and non-Polygon rows raise with the reference's
+    error messages.
+    """
+    parsed = df.select(
+        F.col(id_col),
+        F.from_json(F.col(geojson_col), GEOJSON_GEOM_SCHEMA).alias("f"),
+    )
+    # the checks live INSIDE the rings column — a separate error column
+    # would be pruned away by Catalyst and never evaluated
+    rings = (
+        F.when(
+            (F.col("f.type").isNull()) | (F.col("f.type") != "Feature"),
+            F.raise_error(F.lit("The input must a geojson object of type Feature")).cast(
+                "array<array<array<double>>>"
+            ),
+        )
+        .when(
+            F.col("f.geometry").isNull(),
+            F.raise_error(
+                F.lit("The input must a geojson object with a non-empty geometry")
+            ).cast("array<array<array<double>>>"),
+        )
+        .when(
+            F.col("f.geometry.type") != "Polygon",
+            F.raise_error(F.lit("The input must be a geojson Polygon")).cast(
+                "array<array<array<double>>>"
+            ),
+        )
+        .otherwise(F.col("f.geometry.coordinates"))
+    )
+    return parsed.select(id_col, rings.alias("rings"))
+
+
+def decompose_geojson(
+    df: DataFrame, geojson_col: str = "geojson", id_col: str = "polygon_id"
+) -> DataFrame:
+    """(id, geojson Feature string) → (id, feature_collection string).
+
+    Output JSON matches the reference's shape: a FeatureCollection of
+    one-ring Polygons with properties {index?, parent, winding,
+    netWinding} — ``index`` omitted on the fast path (Q3).
+    """
+    rings_out = decompose_polygons(parse_geojson_features(df, geojson_col, id_col))
+
+    schema = f"{id_col} string, feature_collection string"
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_fc = [], []
+            for pid, grp in pdf.groupby(id_col, sort=False):
+                grp = grp.sort_values("ring_index")
+                feats = []
+                for row in grp.itertuples():
+                    props = {}
+                    if row.is_indexed:
+                        props["index"] = int(row.ring_index)
+                    props.update(
+                        parent=int(row.parent),
+                        winding=int(row.winding),
+                        netWinding=int(row.net_winding),
+                    )
+                    feats.append(
+                        {
+                            "type": "Feature",
+                            "properties": props,
+                            "geometry": {
+                                "type": "Polygon",
+                                "coordinates": [[list(c) for c in row.coords]],
+                            },
+                        }
+                    )
+                out_ids.append(pid)
+                out_fc.append(
+                    json.dumps({"type": "FeatureCollection", "features": feats})
+                )
+            if out_ids:
+                yield pd.DataFrame({id_col: out_ids, "feature_collection": out_fc})
+
+    # rings of one polygon already sit in one partition (decompose emits
+    # them together) — repartition by id only if callers split them
+    return rings_out.mapInPandas(assemble, schema)

@@ -1,0 +1,62 @@
+"""End-to-end GeoJSON string API: reference input JSON strings in,
+FeatureCollection strings out, equal to the reference goldens
+(geometry coordinates float64-exact, properties exact)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from simplepolygon_spark.operators.geojson import decompose_geojson
+from simplepolygon_spark.sources.fixtures import (
+    load_reference_fixture,
+    reference_fixture_names,
+)
+
+
+def _strip_style(feature):
+    """Golden files embed test-harness style props (colorize(),
+    /root/reference/test/index.test.ts:34-51) — engine parity covers the
+    algorithmic properties."""
+    keep = {"index", "parent", "winding", "netWinding"}
+    return {
+        "type": feature["type"],
+        "properties": {k: v for k, v in feature["properties"].items() if k in keep},
+        "geometry": feature["geometry"],
+    }
+
+
+def test_geojson_string_roundtrip_matches_goldens(spark):
+    rows = []
+    goldens = {}
+    for name in reference_fixture_names():
+        rings, gold = load_reference_fixture(name)
+        feature = {
+            "type": "Feature",
+            "properties": {},
+            "geometry": {"type": "Polygon", "coordinates": rings},
+        }
+        rows.append((name, json.dumps(feature)))
+        goldens[name] = gold
+
+    df = spark.createDataFrame(rows, "polygon_id string, geojson string")
+    got = {r.polygon_id: json.loads(r.feature_collection)
+           for r in decompose_geojson(df).collect()}
+
+    for name, gold in goldens.items():
+        mine = got[name]
+        assert mine["type"] == "FeatureCollection"
+        expect = [_strip_style(f) for f in gold["features"]]
+        assert mine["features"] == expect, f"{name} mismatch"
+
+
+def test_geojson_validation_errors(spark):
+    bad = [
+        ("not-feature", json.dumps({"type": "Point", "geometry": None})),
+    ]
+    df = spark.createDataFrame(bad, "polygon_id string, geojson string")
+    from simplepolygon_spark.operators.geojson import parse_geojson_features
+
+    with pytest.raises(Exception, match="type Feature"):
+        parse_geojson_features(df).collect()
