@@ -77,7 +77,18 @@ def decompose(rings: list) -> list[dict[str, Any]]:
     for ring in rings:
         r = [[float(p[0]), float(p[1])] for p in ring]
         if len(r) < 3:
-            raise DecomposeError("The input must be a geojson Polygon")
+            # DOCUMENTED DEVIATION from the reference: simplepolygon
+            # performs no arity validation and would push a 2-point ring
+            # through gpsi into a degenerate zero-area output
+            # (/root/reference/src/index.ts:51-59 closes it silently).
+            # We reject explicitly with a message the reference never
+            # emits — degenerate rings are invalid GeoJSON (RFC 7946
+            # §3.1.6 requires 4+ positions) and a poisoned input at
+            # scale is better surfaced than propagated.
+            raise DecomposeError(
+                "Each ring must contain at least 3 vertices "
+                "(engine deviation: the reference does not validate this)"
+            )
         if not (r[0][0] == r[-1][0] and r[0][1] == r[-1][1]):
             r.append([r[0][0], r[0][1]])
         closed.append(r)

@@ -262,13 +262,45 @@ def js_number_string(v: float) -> str:
     queue-sort quirk Q1 (/root/reference/src/index.ts:326-328 compares
     Position arrays with ``>`` ⇒ string coercion ``"x,y"``).
 
-    For the coordinate magnitudes involved (|v| < 1e21) JS shortest
-    round-trip formatting matches Python ``repr`` except integral values
-    print with no ``.0`` and -0 prints ``"0"``.
+    Implements ECMA-262 Number::toString(10) exactly: the shortest
+    round-trip digits (shared with Python ``repr``) rendered with JS's
+    decimal/exponential switchover — decimal for 1e-6 ≤ |v| < 1e21,
+    exponential otherwise with a minimal exponent (``1e-7``, never
+    ``1e-07``).  Python ``repr`` alone diverges for |v| < 1e-4 (early
+    exponential, zero-padded exponent) and |v| ≥ 1e16 (early
+    exponential where JS still prints digits).
     """
     f = float(v)
+    if f != f:
+        return "NaN"
     if f == 0:
         return "0"
-    if f == int(f) and abs(f) < 1e21:
-        return str(int(f))
-    return repr(f)
+    sign = "-" if f < 0 else ""
+    m = repr(abs(f))
+    if m in ("inf", "Infinity"):
+        return sign + "Infinity"
+    # decompose shortest-repr into (digits, n) with |f| = 0.digits × 10^n
+    if "e" in m:
+        mant, exp_s = m.split("e")
+        exp = int(exp_s)
+    else:
+        mant, exp = m, 0
+    if "." in mant:
+        int_part, frac = mant.split(".")
+    else:
+        int_part, frac = mant, ""
+    d = (int_part + frac).rstrip("0")
+    trailing = len(int_part) + len(frac) - len(d)
+    d = d.lstrip("0")
+    k = len(d)
+    n = exp - len(frac) + trailing + k
+    # ECMA-262 §6.1.6.1.20 steps 5-10
+    if k <= n <= 21:
+        return sign + d + "0" * (n - k)
+    if 0 < n <= 21:
+        return sign + d[:n] + "." + d[n:]
+    if -6 < n <= 0:
+        return sign + "0." + "0" * (-n) + d
+    e = n - 1
+    mant_s = d if k == 1 else d[0] + "." + d[1:]
+    return sign + mant_s + ("e+" if e >= 0 else "e-") + str(abs(e))

@@ -23,7 +23,6 @@ an Arrow stage.
 from __future__ import annotations
 
 import json
-from collections.abc import Iterator
 
 import pandas as pd
 
@@ -90,38 +89,44 @@ def decompose_geojson(
 
     schema = f"{id_col} string, feature_collection string"
 
-    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_ids, out_fc = [], []
-            for pid, grp in pdf.groupby(id_col, sort=False):
-                grp = grp.sort_values("ring_index")
-                feats = []
-                for row in grp.itertuples():
-                    props = {}
-                    if row.is_indexed:
-                        props["index"] = int(row.ring_index)
-                    props.update(
-                        parent=int(row.parent),
-                        winding=int(row.winding),
-                        netWinding=int(row.net_winding),
-                    )
-                    feats.append(
-                        {
-                            "type": "Feature",
-                            "properties": props,
-                            "geometry": {
-                                "type": "Polygon",
-                                "coordinates": [[list(c) for c in row.coords]],
-                            },
-                        }
-                    )
-                out_ids.append(pid)
-                out_fc.append(
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one call per polygon_id group — Spark guarantees the whole
+        # group arrives in this single DataFrame, so a polygon whose
+        # rings straddle Arrow batch boundaries can never be split into
+        # two partial FeatureCollections (it was with mapInPandas, whose
+        # input is re-chunked at arrow.maxRecordsPerBatch)
+        pdf = pdf.sort_values("ring_index")
+        pid = pdf[id_col].iloc[0]
+        feats = []
+        for row in pdf.itertuples():
+            props = {}
+            if row.is_indexed:
+                props["index"] = int(row.ring_index)
+            props.update(
+                parent=int(row.parent),
+                winding=int(row.winding),
+                netWinding=int(row.net_winding),
+            )
+            feats.append(
+                {
+                    "type": "Feature",
+                    "properties": props,
+                    "geometry": {
+                        "type": "Polygon",
+                        "coordinates": [[list(c) for c in row.coords]],
+                    },
+                }
+            )
+        return pd.DataFrame(
+            {
+                id_col: [pid],
+                "feature_collection": [
                     json.dumps({"type": "FeatureCollection", "features": feats})
-                )
-            if out_ids:
-                yield pd.DataFrame({id_col: out_ids, "feature_collection": out_fc})
+                ],
+            }
+        )
 
-    # rings of one polygon already sit in one partition (decompose emits
-    # them together) — repartition by id only if callers split them
-    return rings_out.mapInPandas(assemble, schema)
+    # groupBy shuffles only the (small) ring layer; the alternative —
+    # buffering across mapInPandas batches — would silently break on a
+    # >maxRecordsPerBatch polygon, so correctness wins the shuffle here
+    return rings_out.groupBy(id_col).applyInPandas(assemble, schema)

@@ -41,23 +41,30 @@ def knn_join(
         kk = min(k, R)
         if R == 0:
             return
+        # deterministic tie order identical to knn_join_window's
+        # ORDER BY dist, polygon_id, ring_index: pre-sort the ring axis
+        # by (polygon_id, ring_index), then a STABLE argsort on distance
+        # yields exactly that ordering — equal distances at the k
+        # boundary can never be dropped arbitrarily
+        rank_order = np.lexsort(
+            (
+                np.array([kk2[1] for kk2 in keys], dtype=np.int64),
+                np.array([kk2[0] for kk2 in keys], dtype=object),
+            )
+        )
+        cents_r = cents[rank_order]
         for batch in batches:
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             lon = batch.column(lon_col).to_numpy(zero_copy_only=False).astype(np.float64)
             lat = batch.column(lat_col).to_numpy(zero_copy_only=False).astype(np.float64)
             if len(ids) == 0:
                 continue
-            d2 = (lon[:, None] - cents[None, :, 0]) ** 2 + (
-                lat[:, None] - cents[None, :, 1]
+            d2 = (lon[:, None] - cents_r[None, :, 0]) ** 2 + (
+                lat[:, None] - cents_r[None, :, 1]
             ) ** 2
-            # top-k with deterministic tie-break on ring id:
-            # lexsort per row over (ring_id, d2) — d2 primary
-            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-            rows_i = np.repeat(np.arange(len(ids)), kk)
-            cand_d = d2[rows_i, part.ravel()].reshape(len(ids), kk)
-            order = np.lexsort((part, cand_d), axis=1)
-            sel = np.take_along_axis(part, order, axis=1)
-            seld = np.take_along_axis(cand_d, order, axis=1)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            sel = rank_order[order]
+            seld = np.take_along_axis(d2, order, axis=1)
             out_id = np.repeat(ids, kk)
             out_ring = sel.ravel()
             yield pa.RecordBatch.from_arrays(

@@ -284,9 +284,10 @@ def _covers_distributed(rings_out: DataFrame, cover_level: int, max_level: int):
 
     schema = "polygon_id string, ring_index int, lo long, hi long, full int"
     df = rings_out.select("polygon_id", "ring_index", "coords")
-    n = df.rdd.getNumPartitions()
-    if n < 8:
-        df = df.repartition(16)
+    # spread the (small) ring layer across the cores for the cover pass;
+    # a fixed repartition avoids the RDD conversion that reading the
+    # partition count would force, and the shuffle moves only ring rows
+    df = df.repartition(max(rings_out.sparkSession.sparkContext.defaultParallelism, 8))
     return [tuple(r) for r in df.mapInPandas(run, schema).collect()]
 
 

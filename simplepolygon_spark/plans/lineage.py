@@ -80,10 +80,20 @@ def write_with_lineage(
     ``all_part_ids``: single-column DF of every part_id processed in
     this run (parts may legitimately produce zero result rows — they
     still must be marked done or resume would re-run them forever).
+
+    The lineage write is the SOLE commit point: data rows are tagged
+    with ``run_id`` and ``read_result`` only surfaces (part_id, run_id)
+    combinations that have a committed lineage row.  A crash between
+    the data write and the lineage write therefore leaves orphan data
+    files that are invisible to readers, and the part is re-run on
+    resume without producing duplicates — preserving the exact
+    "union of resumed runs == clean run" invariant.
     """
     data_path = os.path.join(out_dir, DATA_SUBDIR)
     lin_path = os.path.join(out_dir, LINEAGE_SUBDIR)
-    result.write.mode("append").partitionBy("part_id").parquet(data_path)
+    result.withColumn("run_id", F.lit(run_id)).write.mode("append").partitionBy(
+        "part_id"
+    ).parquet(data_path)
     metrics = lineage_metrics(result, run_id)
     full = (
         all_part_ids.select(F.col("part_id").cast("int"))
@@ -96,4 +106,19 @@ def write_with_lineage(
 
 
 def read_result(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, DATA_SUBDIR))
+    """Committed rows only: data semi-joined against the lineage log on
+    (part_id, run_id), so uncommitted (orphan) data files never
+    surface.  The lineage side is tiny (one row per logical part) and
+    broadcast by AQE."""
+    data = spark.read.parquet(os.path.join(out_dir, DATA_SUBDIR))
+    try:
+        committed = (
+            spark.read.parquet(os.path.join(out_dir, LINEAGE_SUBDIR))
+            .select("part_id", "run_id")
+            .distinct()
+        )
+    except Exception:
+        return data.limit(0).drop("run_id")
+    return data.join(
+        F.broadcast(committed), ["part_id", "run_id"], "left_semi"
+    ).drop("run_id")

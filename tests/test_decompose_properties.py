@@ -93,3 +93,34 @@ def test_simple_polygon_fast_path(n, seed):
     assert feats[0]["coords"] == ring  # verbatim pass-through
     assert feats[0]["index"] is None  # quirk Q3
     assert feats[0]["winding"] == (1 if signed_area(pts[np.r_[0 : len(pts), 0]]) > 0 else -1)
+
+
+def test_js_number_string_matches_ecma262():
+    """Quirk Q1's sort key uses JS String(number) formatting.  Known
+    String() outputs (incl. the tiny-magnitude exponent forms that
+    Python repr pads differently — round-1 advice) must match."""
+    from simplepolygon_spark.geom import js_number_string as js
+
+    cases = {
+        0.0: "0", -0.0: "0", 1.0: "1", -3.0: "-3", 12.5: "12.5",
+        123.456: "123.456", 0.1: "0.1", 1 / 3: "0.3333333333333333",
+        1e-7: "1e-7", -1e-7: "-1e-7", 2.5e-8: "2.5e-8",
+        1e-6: "0.000001", 1e-5: "0.00001", 1e-4: "0.0001",
+        0.00012345: "0.00012345",
+        1e16: "10000000000000000", 1e20: "100000000000000000000",
+        1e21: "1e+21", 1.5e21: "1.5e+21", 1e22: "1e+22",
+        -170.0: "-170", 179.99999999999997: "179.99999999999997",
+    }
+    for v, want in cases.items():
+        assert js(v) == want, (v, js(v), want)
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+@settings(max_examples=300, deadline=None)
+def test_js_number_string_roundtrips(v):
+    """The JS formatting must stay shortest-round-trip: parsing the
+    string recovers the exact float64 (String() is round-trip exact)."""
+    from simplepolygon_spark.geom import js_number_string as js
+
+    s = js(v)
+    assert float(s) == v or (v == 0 and s == "0")

@@ -51,6 +51,37 @@ def test_geojson_string_roundtrip_matches_goldens(spark):
         assert mine["features"] == expect, f"{name} mismatch"
 
 
+def test_polygon_rings_straddle_arrow_batches(spark):
+    """Regression: with mapInPandas assembly, a polygon whose rings
+    straddled an Arrow batch boundary was emitted as TWO partial
+    FeatureCollections.  Force 1-row batches so every multi-ring
+    polygon straddles, and assert exactly one complete row each."""
+    rows, expected_feats = [], {}
+    for name in reference_fixture_names():
+        rings, gold = load_reference_fixture(name)
+        feature = {
+            "type": "Feature",
+            "properties": {},
+            "geometry": {"type": "Polygon", "coordinates": rings},
+        }
+        rows.append((name, json.dumps(feature)))
+        expected_feats[name] = len(gold["features"])
+
+    df = spark.createDataFrame(rows, "polygon_id string, geojson string")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try:
+        out = decompose_geojson(df).collect()
+    finally:
+        spark.conf.set(key, old)
+
+    assert len(out) == len(rows)  # one row per polygon, no splits
+    for r in out:
+        fc = json.loads(r.feature_collection)
+        assert len(fc["features"]) == expected_feats[r.polygon_id]
+
+
 def test_geojson_validation_errors(spark):
     bad = [
         ("not-feature", json.dumps({"type": "Point", "geometry": None})),

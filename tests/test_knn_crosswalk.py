@@ -66,6 +66,51 @@ def test_knn_matches_bruteforce_and_window(spark):
     assert a == b
 
 
+def test_knn_boundary_ties_match_window_exactly(spark):
+    """Four rings exactly equidistant from the query point, k=2: the
+    Arrow path must keep the same two rows as the window oracle's
+    ORDER BY dist, polygon_id, ring_index — not an arbitrary
+    argpartition subset (round-1 advice)."""
+    def square(cx, cy):
+        return [
+            [cx - 0.1, cy - 0.1], [cx + 0.1, cy - 0.1],
+            [cx + 0.1, cy + 0.1], [cx - 0.1, cy + 0.1], [cx - 0.1, cy - 0.1],
+        ]
+
+    # centroids at (±1, 0), (0, ±1): all at distance exactly 1 from origin
+    rows = [
+        {"polygon_id": pid, "ring_index": ri, "coords": square(cx, cy)}
+        for pid, ri, cx, cy in [
+            ("pD", 0, 1.0, 0.0), ("pB", 1, -1.0, 0.0),
+            ("pB", 0, 0.0, 1.0), ("pA", 0, 0.0, -1.0),
+        ]
+    ]
+    idx = build_interval_index(rows, cover_level=6)
+    bc = broadcast_index(spark, idx)
+    pts = spark.createDataFrame(
+        [("q0", 0.0, 0.0)], "image_id string, lon double, lat double"
+    )
+    got = (
+        knn_join(pts, bc, k=2)
+        .toPandas()
+        .sort_values("rank")[["polygon_id", "ring_index"]]
+        .values.tolist()
+    )
+    cdf = spark.createDataFrame(
+        [(r["polygon_id"], r["ring_index"], float(np.mean([p[0] for p in r["coords"][:-1]])),
+          float(np.mean([p[1] for p in r["coords"][:-1]])))
+         for r in rows],
+        "polygon_id string, ring_index int, cx double, cy double",
+    )
+    win = (
+        knn_join_window(pts, cdf, k=2)
+        .toPandas()
+        .sort_values("rank")[["polygon_id", "ring_index"]]
+        .values.tolist()
+    )
+    assert got == win == [["pA", 0], ["pB", 0]]
+
+
 def test_crosswalk_matches_bruteforce(spark):
     rows, idx, bc = _setup(spark, grid=2, cover_level=9)
     n = 60

@@ -51,6 +51,39 @@ def test_kill_resume_equals_clean_run(spark, tmp_path):
     assert _result_set(spark, crash_dir) == clean
 
 
+def test_crash_between_data_and_lineage_write(spark, tmp_path):
+    """Lineage is the sole commit point: data files written by a run
+    that died before its lineage write are invisible to read_result and
+    the part is re-run on resume WITHOUT producing duplicates."""
+    from simplepolygon_spark.operators.tiling import pip_join
+    from simplepolygon_spark.plans.lineage import DATA_SUBDIR, with_part_id
+
+    bc = _setup(spark)
+    imgs = images_df(spark, 1500, partitions=8, with_bytes=False)
+
+    clean_dir = str(tmp_path / "clean")
+    run_pipeline(spark, imgs, bc, clean_dir, run_id="clean", num_parts=16)
+    clean = _result_set(spark, clean_dir)
+
+    crash_dir = str(tmp_path / "crash")
+    # simulate a run that wrote part of its DATA but died before the
+    # lineage commit: orphan rows for 4 parts, no lineage rows at all
+    asg = with_part_id(pip_join(imgs, bc), "image_id", 16)
+    orphan = asg.filter(F.col("part_id") < 4).withColumn("run_id", F.lit("dead"))
+    orphan.write.mode("append").partitionBy("part_id").parquet(
+        f"{crash_dir}/{DATA_SUBDIR}"
+    )
+    assert done_part_ids(spark, crash_dir) == set()  # nothing committed
+
+    # resume re-processes ALL 16 parts (orphans are not "done") ...
+    run_pipeline(spark, imgs, bc, crash_dir, run_id="r2", num_parts=16)
+    assert len(done_part_ids(spark, crash_dir)) == 16
+    # ... and the orphan rows never surface: exact clean-run equality,
+    # including multiplicity (count rows, not just the distinct set)
+    assert _result_set(spark, crash_dir) == clean
+    assert read_result(spark, crash_dir).count() == read_result(spark, clean_dir).count()
+
+
 def test_lineage_checksums_match_between_runs(spark, tmp_path):
     bc = _setup(spark)
     imgs = images_df(spark, 800, partitions=4, with_bytes=False)
