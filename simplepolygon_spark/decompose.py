@@ -166,6 +166,19 @@ def decompose(rings: list) -> list[dict[str, Any]]:
 
     # --- coord -> isect index (replaces the reference's RBush point
     # index, src/index.ts:203-215 — an exact-match lookup, so a dict) ----
+    # DOCUMENTED DEVIATION: coincident crossing points (two distinct
+    # edge pairs crossing at one coordinate, or a crossing landing
+    # exactly on an unrelated ring vertex) make the coord->isect lookup
+    # ambiguous.  The reference inherits whatever its RBush point query
+    # returns first and its walk behavior is undefined there (the gpsi
+    # contract at src/index.ts:69-110 reports both crossings); our walk
+    # would loop forever.  An engine must never hang an executor on one
+    # poisoned row, so we reject such polygons explicitly.
+    if len({_coord_key(it[0]) for it in isects}) != len(isects):
+        raise DecomposeError(
+            "Coincident intersection points are not supported "
+            "(engine deviation: the reference's behavior is undefined here)"
+        )
     coord_to_isect = {_coord_key(it[0]): idx for idx, it in enumerate(isects)}
 
     # --- link pass 1: next isect along each pseudo-vertex's edge-in
@@ -222,6 +235,13 @@ def decompose(rings: list) -> list[dict[str, Any]]:
     queue.sort(key=lambda q: _js_coord_string(isects[q[0]][0]), reverse=True)
 
     # --- the walk (src/index.ts:332-519) --------------------------------
+    # hard step bound (defense in depth behind the coincident-point
+    # guard): a consistent intersection graph walks each (isect,
+    # direction) at most once, so total steps are bounded by the number
+    # of walkable directions; exceeding it means a degenerate structure
+    # slipped through — fail the row, never hang the executor.
+    max_steps = 2 * (numvertices + 2 * len(isects)) + 16
+    steps = 0
     out: list[dict[str, Any]] = []
     while queue:
         start_isect, cur_parent, cur_winding = queue.pop()
@@ -240,6 +260,13 @@ def decompose(rings: list) -> list[dict[str, Any]]:
         while not (
             start_coord[0] == isects[nxt][0][0] and start_coord[1] == isects[nxt][0][1]
         ):
+            steps += 1
+            if steps > max_steps:
+                raise DecomposeError(
+                    "Ring walk exceeded its step bound — degenerate "
+                    "intersection structure (engine guard; see coincident-"
+                    "point deviation note)"
+                )
             coords.append(list(isects[nxt][0]))
             # remove nxt from the queue if pending (src/index.ts:393-404)
             for qi in range(len(queue)):

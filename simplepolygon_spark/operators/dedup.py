@@ -90,20 +90,22 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 def minhash_doc_sigs(
     docs: DataFrame, num_hashes: int = 64, k: int = 5, seed: int = 7
 ) -> DataFrame:
-    """(doc_id, sig array<long>, sh array<long>) — one Arrow pass
-    computes both the MinHash signature and the (61-bit) hashed shingle
-    set; everything downstream (banding, bucket join, estimate filter,
-    exact verify) is JVM-side."""
+    """(doc_id, sig array<long>) — MinHash signature per doc in one
+    Arrow pass.  The signature (num_hashes longs) is the ONLY payload
+    carried into the LSH join graph; the full hashed-shingle set is
+    deliberately not emitted — at 100 TB it is O(text length) per row
+    and shipping it through the candidate joins re-shuffles a constant
+    factor of the corpus (round-1 bench: 60% of suite wall time)."""
     rng = np.random.default_rng(seed)
     A = rng.integers(1, _MERSENNE, num_hashes, dtype=np.uint64)
     B = rng.integers(0, _MERSENNE, num_hashes, dtype=np.uint64)
-    schema = "doc_id long, sig array<long>, sh array<long>"
+    schema = "doc_id long, sig array<long>"
 
     def run(batches):
         for batch in batches:
             ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             texts = batch.column("text").to_pylist()
-            o_id, o_sig, o_sh = [], [], []
+            o_id, o_sig = [], []
             for did, text in zip(ids, texts):
                 sh = _shingle_hashes(text, k)
                 sig = (
@@ -111,14 +113,12 @@ def minhash_doc_sigs(
                 ).min(axis=1)
                 o_id.append(int(did))
                 o_sig.append(sig.astype(np.int64).tolist())
-                o_sh.append(sh.astype(np.int64).tolist())
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(o_id, pa.int64()),
                     pa.array(o_sig, pa.list_(pa.int64())),
-                    pa.array(o_sh, pa.list_(pa.int64())),
                 ],
-                names=["doc_id", "sig", "sh"],
+                names=["doc_id", "sig"],
             )
 
     return docs.select("doc_id", "text").mapInArrow(run, schema)
@@ -163,15 +163,16 @@ def minhash_dup_pairs(
     est_margin: float = 0.2,
 ) -> DataFrame:
     """LSH candidates (bucket equi-join) → signature-estimate pre-filter
-    (matching-minhash fraction ≥ threshold − est_margin) → exact Jaccard
-    over the hashed shingle sets.
+    (matching-minhash fraction ≥ threshold − est_margin) → exact
+    character-shingle Jaccard recomputed ONLY for surviving candidates.
 
-    The estimate filter kills the bulk of false candidates with a 64-long
-    comparison before the expensive set intersection; the emitted
-    ``jaccard`` is always the exact set Jaccard (61-bit shingle hashes)."""
-    # sigs feed three plan branches (buckets + both join sides); persist
-    # so the Arrow kernel runs once.  At 100 TB scale this intermediate
-    # is written to a table instead (one narrow pass over the corpus).
+    Scale shape: the corpus is scanned twice — once for signatures (a
+    narrow Arrow map), once semi-joined down to candidate doc_ids for
+    the exact verify (a ~1e-6 selectivity set, broadcast back).  The
+    joins themselves move only (doc_id, band_hash) pairs and 64-long
+    signatures, never text or shingle sets.  The emitted ``jaccard`` is
+    the exact distinct-5-gram Jaccard of the lowercased text, identical
+    to the brute-force SQL oracle's definition."""
     sigs = minhash_doc_sigs(docs, num_hashes, k).persist()
     bk = _band_buckets_from_sigs(sigs, bands, num_hashes // bands)
     a, b = bk.alias("a"), bk.alias("b")
@@ -181,21 +182,31 @@ def minhash_dup_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    side = sigs.select("doc_id", "sig", "sh")
-    j = (
-        cand.join(
-            side.withColumnsRenamed({"doc_id": "doc_a", "sig": "sig_a", "sh": "sh_a"}),
-            "doc_a",
-        )
-        .join(
-            side.withColumnsRenamed({"doc_id": "doc_b", "sig": "sig_b", "sh": "sh_b"}),
-            "doc_b",
-        )
-    )
+    side = sigs.select("doc_id", "sig")
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     ) / F.lit(float(num_hashes))
-    j = j.where(est >= threshold - est_margin)
+    cand = (
+        cand.join(side.withColumnsRenamed({"doc_id": "doc_a", "sig": "sig_a"}), "doc_a")
+        .join(side.withColumnsRenamed({"doc_id": "doc_b", "sig": "sig_b"}), "doc_b")
+        .where(est >= threshold - est_margin)
+        .select("doc_a", "doc_b")
+    )
+    # exact verify: pull text only for docs that appear in a candidate
+    # pair (semi-join), shingle JVM-side, broadcast the tiny result back
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sub = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
+        "doc_id", shingle_col("text", k).alias("sh")
+    )
+    j = cand.join(
+        F.broadcast(sub.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"})), "doc_a"
+    ).join(
+        F.broadcast(sub.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"})), "doc_b"
+    )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.greatest(
         F.size(F.array_union("sh_a", "sh_b")), F.lit(1)
     )
@@ -209,48 +220,112 @@ def minhash_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_64(docs: DataFrame, seed: int = 11) -> DataFrame:
+_SM_C0 = 0x9E3779B97F4A7C15
+_SM_C1 = 0xBF58476D1CE4E5B9
+_SM_C2 = 0x94D049BB133111EB
+_INV257 = pow(257, -1, 1 << 64)
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants)
+    — turns the poorly-mixed Horner value into 64 uniform bits."""
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the point
+        z = z + np.uint64(_SM_C0)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(_SM_C1)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(_SM_C2)
+        return z ^ (z >> np.uint64(31))
+
+
+def _token_hashes(tokens: list) -> np.ndarray:
+    """uint64 hash per token: Horner over UCS4 codepoints (base 257,
+    mod 2^64) + splitmix64.  Fully vectorized: the numpy str_ array's
+    fixed-width codepoint view is hashed column-wise; trailing NUL
+    padding contributes a known 257^pad factor that is undone with the
+    modular inverse of 257 (odd ⇒ invertible mod 2^64).  The identical
+    function is expressed in ANSI-ish SQL by ``simhash_token_sql`` for
+    the DuckDB oracle."""
+    arr = np.asarray(tokens, dtype=np.str_)
+    U = arr.view(np.uint32).reshape(len(arr), -1).astype(np.uint64)
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the point
+        h = np.zeros(len(arr), np.uint64)
+        for col in range(U.shape[1]):
+            h = h * np.uint64(257) + U[:, col]
+        pad = (U == 0).sum(axis=1)
+        pows = np.empty(U.shape[1] + 1, np.uint64)
+        pows[0] = 1
+        for i in range(1, len(pows)):
+            pows[i] = pows[i - 1] * np.uint64(_INV257)
+        return _splitmix64(h * pows[pad])
+
+
+def simhash_token_sql(tok: str) -> str:
+    """DuckDB SQL computing exactly ``_token_hashes`` for one token
+    expression: codepoint Horner (mod 2^64 via HUGEINT) + splitmix64,
+    with each 64×64-bit multiply split into 32-bit halves so the
+    128-bit intermediate never overflows HUGEINT."""
+    m64 = 1 << 64
+    horner = (
+        f"list_reduce(list_transform(string_split({tok}, ''), "
+        f"c -> CAST(ord(c) AS HUGEINT)), (a, b) -> (a * 257 + b) % {m64})"
+    )
+
+    def mulmod(z: str, c: int) -> str:
+        lo, hi = c & 0xFFFFFFFF, c >> 32
+        return (
+            f"((({z}) * {lo}) % {m64} + (((({z}) % {1 << 32}) * {hi}) % {1 << 32})"
+            f" * {1 << 32}) % {m64}"
+        )
+
+    z0 = f"(({horner}) + {_SM_C0}) % {m64}"
+    z1 = mulmod(f"xor({z0}, ({z0}) >> 30)", _SM_C1)
+    z2 = mulmod(f"xor({z1}, ({z1}) >> 27)", _SM_C2)
+    return f"xor({z2}, ({z2}) >> 31)"
+
+
+def simhash_64(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash, band0..band3): 64-bit SimHash over whitespace
-    tokens + four 16-bit bands for Hamming blocking."""
+    tokens (occurrence-weighted majority vote per bit) + four 16-bit
+    bands for Hamming blocking.  The whole batch is hashed in one
+    vectorized pass — no per-token Python (round-1 advice)."""
     schema = "doc_id long, simhash long, band0 int, band1 int, band2 int, band3 int"
 
     def run(batches):
-        import hashlib
-
-        cache: dict[str, int] = {}
-
-        def th(tok: str) -> int:
-            v = cache.get(tok)
-            if v is None:
-                v = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8, key=b"simhash11").digest(),
-                    "little",
-                )
-                cache[tok] = v
-            return v
-
+        shifts = np.arange(64, dtype=np.uint64)
         for batch in batches:
             ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             texts = batch.column("text").to_pylist()
-            out = {f: [] for f in ("doc_id", "simhash", "band0", "band1", "band2", "band3")}
-            for did, text in zip(ids, texts):
-                toks = text.lower().split()
-                if toks:
-                    hs = np.array([th(t) for t in toks], dtype=np.uint64)
-                    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-                    votes = bits.sum(axis=0) * 2 > len(toks)
-                    sh = int(np.packbits(votes[::-1]).view(">u8")[0])
-                else:
-                    sh = 0
-                out["doc_id"].append(int(did))
-                out["simhash"].append(sh - (1 << 64) if sh >= (1 << 63) else sh)
-                for bnd in range(4):
-                    out[f"band{bnd}"].append((sh >> (16 * bnd)) & 0xFFFF)
+            n = len(ids)
+            if n == 0:
+                continue
+            toks_per_doc = [t.lower().split() for t in texts]
+            counts = np.array([len(t) for t in toks_per_doc], np.int64)
+            sig = np.zeros(n, np.uint64)
+            nz = np.nonzero(counts > 0)[0]
+            # chunk the T×64 vote matrix to a bounded footprint
+            for s in range(0, len(nz), 2048):
+                dz = nz[s : s + 2048]
+                all_toks = [t for i in dz for t in toks_per_doc[i]]
+                H = _token_hashes(all_toks)
+                bits = ((H[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                    np.int32
+                )
+                offsets = np.concatenate([[0], np.cumsum(counts[dz])[:-1]])
+                sums = np.add.reduceat(bits, offsets, axis=0)
+                votes = (sums * 2 > counts[dz][:, None]).astype(np.uint64)
+                sig[dz] = (votes << shifts[None, :]).sum(axis=1, dtype=np.uint64)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(out["doc_id"], pa.int64()),
-                    pa.array(out["simhash"], pa.int64()),
-                    *[pa.array(out[f"band{bnd}"], pa.int32()) for bnd in range(4)],
+                    pa.array(ids.astype(np.int64), pa.int64()),
+                    pa.array(sig.view(np.int64), pa.int64()),
+                    *[
+                        pa.array(
+                            ((sig >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)).astype(
+                                np.int32
+                            ),
+                            pa.int32(),
+                        )
+                        for bnd in range(4)
+                    ],
                 ],
                 names=["doc_id", "simhash", "band0", "band1", "band2", "band3"],
             )

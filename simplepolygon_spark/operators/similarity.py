@@ -149,18 +149,61 @@ def ivf_topk(
     k: int = 5,
     probes: int = 4,
 ) -> DataFrame:
-    """Probe the ``probes`` nearest centroid lists per query, exact
-    cosine within the candidate set.  At scale the corpus is stored
-    partitioned/bucketed by centroid_id, so the filter prunes file
-    groups instead of scanning the corpus."""
-    assign = ivf_assign(corpus, centroids)
-    with_cid = corpus.join(assign, "vec_id")
+    """IVF approximate top-k in ONE corpus pass: every query's probe
+    list (its ``probes`` nearest centroids) is broadcast with the query
+    matrix; each Arrow batch assigns its vectors to centroids (argmin
+    L2, ties to the lowest centroid id), masks per query to probed
+    centroids, computes cosines vectorized, and emits per-batch top-k;
+    a single tiny window reduce yields the global top-k.  No join, no
+    per-query plan branch (round-1 advice: the old form built Q filtered
+    scans + a corpus↔assign shuffle).  At scale the corpus is stored
+    bucketed by centroid_id so the mask becomes partition pruning."""
     C = np.asarray(centroids, np.float64)
-    out = None
-    for qid, qv in queries_np.items():
-        d = ((C - np.asarray(qv, np.float64)[None, :]) ** 2).sum(axis=1)
-        probe_ids = [int(x) for x in np.argsort(d, kind="stable")[:probes]]
-        cand = with_cid.where(F.col("centroid_id").isin(probe_ids))
-        r = cosine_topk_arrow(cand, {qid: qv}, k)
-        out = r if out is None else out.unionByName(r)
-    return out
+    qids = sorted(queries_np)
+    Q = np.stack([np.asarray(queries_np[q], np.float64) for q in qids])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    dq = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # Q × C
+    probe_mask = np.zeros((len(qids), len(C)), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, np.argsort(dq[qi], kind="stable")[:probes]] = True
+
+    schema = "query_id long, vec_id long, cosine double"
+
+    def run(batches):
+        for batch in batches:
+            vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            if len(vids) == 0:
+                continue
+            emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            d = ((emb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cid = d.argmin(axis=1)  # first min == lowest centroid id
+            En = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = En @ Qn.T  # B × Q
+            o_q, o_v, o_c = [], [], []
+            for qi, qid in enumerate(qids):
+                m = probe_mask[qi, cid]
+                if not m.any():
+                    continue
+                s = sims[m, qi]
+                kk = min(k, len(s))
+                top = np.argpartition(-s, kk - 1)[:kk]
+                o_q.extend([qid] * kk)
+                o_v.extend(vids[m][top].tolist())
+                o_c.extend(np.round(s[top], 6).tolist())
+            if not o_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_q, pa.int64()),
+                    pa.array(o_v, pa.int64()),
+                    pa.array(o_c, pa.float64()),
+                ],
+                names=["query_id", "vec_id", "cosine"],
+            )
+
+    partial = corpus.select("vec_id", "embedding").mapInArrow(run, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

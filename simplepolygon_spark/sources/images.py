@@ -10,10 +10,12 @@ is distributed (spark.range → mapInArrow), seeded, and external-data
 free.
 
 Codec (SPIM): 12-byte header = magic b'SPIM' + w:int32le + h:int32le,
-then the RGB24 payload either raw ('raw') or lossless byte-RLE ('rle':
-repeated (count:uint8, value:uint8) pairs).  Decode is pure numpy;
-PSNR vs the regenerated original must be +inf (lossless) — the ≥40 dB
-gate of BASELINE.json:16 is asserted in tests.
+then the RGB24 payload raw ('raw'), lossless byte-RLE ('rle': repeated
+(count:uint8, value:uint8) pairs), or LOSSY 2-bit-quantized ('qnt',
+every 5th image) at ~42.7 dB — so the ≥40 dB PSNR gate of
+BASELINE.json:16 is exercised with finite values, not just the
+lossless PSNR=+inf fast path.  Decode is pure numpy; jpeg/png remain
+explicit NotImplementedError stubs (no codecs in this sandbox).
 
 The skew knob (FIXTURES.md §2): rows with phash % 100 < 10 relocate
 into one fixed hot cell near (130.0, -25.0) — exercising salted
@@ -41,7 +43,7 @@ from pyspark.sql.types import (
 MAGIC = b"SPIM"
 _WIDTHS = (16, 32, 64)
 _HEIGHTS = (16, 24, 48)
-_FMTS = ("raw", "rle")
+_FMTS = ("raw", "rle", "qnt")
 _PHI = 0.6180339887498949
 _PSI = 0.3819660112501051
 
@@ -99,13 +101,26 @@ def pixels_of(i: int, w: int, h: int) -> np.ndarray:
     return rng.integers(0, 256, (h, w, 3), np.uint8)
 
 
+def quantize(px: np.ndarray, bits: int = 2) -> np.ndarray:
+    """Lossy per-channel quantization: drop the low ``bits`` bits.
+    At bits=2 the error is uniform in 0..3 (MSE 3.5, PSNR ~42.7 dB) —
+    above the 40 dB gate but finite, so the gate is exercised away from
+    the lossless PSNR=inf fast path."""
+    return px & np.uint8(0xFF << bits)
+
+
 def encode_image(i: int) -> tuple:
     w = _WIDTHS[i % 3]
     h = _HEIGHTS[i % 3]
-    fmt = _FMTS[i % 2]
+    fmt = _FMTS[i % 2] if i % 5 else "qnt"
     px = pixels_of(i, w, h)
     header = MAGIC + np.int32(w).tobytes() + np.int32(h).tobytes()
-    payload = px.tobytes() if fmt == "raw" else rle_encode(px)
+    if fmt == "raw":
+        payload = px.tobytes()
+    elif fmt == "rle":
+        payload = rle_encode(px)
+    else:  # qnt: lossy 2-bit quantization, stored raw
+        payload = quantize(px).tobytes()
     return header + payload, w, h, fmt
 
 
@@ -118,7 +133,7 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     w = int(np.frombuffer(data[4:8], np.int32)[0])
     h = int(np.frombuffer(data[8:12], np.int32)[0])
     payload = data[12:]
-    if fmt == "raw":
+    if fmt in ("raw", "qnt"):  # qnt quantizes at encode; payload is raw bytes
         px = np.frombuffer(payload, np.uint8)
     elif fmt == "rle":
         px = rle_decode(payload)
@@ -127,14 +142,14 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     return px.reshape(h, w, 3)
 
 
-def meta_of(i: int) -> dict:
+def meta_of(i: int, skew: bool = True) -> dict:
     image_id = f"img{i:09d}"
     digest = hashlib.blake2b(image_id.encode()).digest()
     phash = int(np.frombuffer(digest[:8], np.int64)[0])
     caption = f"synthetic image {i} :: {digest[:12].hex()}"
     lon = ((i * _PHI) % 1.0) * 360.0 - 180.0
     lat = ((i * _PSI) % 1.0) * 170.0 - 85.0
-    if phash % 100 < 10:  # skew knob: hot cell
+    if skew and phash % 100 < 10:  # skew knob: hot cell
         lon = 130.0 + (i % 97) * 1e-4
         lat = -25.0 + (i % 89) * 1e-4
     return {
@@ -147,9 +162,19 @@ def meta_of(i: int) -> dict:
 
 
 def images_df(
-    spark: SparkSession, n: int, partitions: int | None = None, with_bytes: bool = True
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    with_bytes: bool = True,
+    skew: bool = True,
 ) -> DataFrame:
-    """Distributed deterministic generation of N images."""
+    """Distributed deterministic generation of N images.
+
+    ``skew=False`` disables the hot-cell relocation (whose trigger is a
+    blake2b-derived phash, not SQL-expressible) so lon/lat become pure
+    golden-ratio arithmetic of the row index — the form the DuckDB
+    correctness oracle recomputes.  Benchmarks and skew tests keep the
+    default."""
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 4)
 
@@ -178,12 +203,12 @@ def images_df(
             cols: dict[str, list] = {k: [] for k in arrow_schema.names}
             for i in idx:
                 i = int(i)
-                m = meta_of(i)
+                m = meta_of(i, skew=skew)
                 if with_bytes:
                     data, w, h, fmt = encode_image(i)
                 else:
                     data = b""
-                    w, h, fmt = _WIDTHS[i % 3], _HEIGHTS[i % 3], _FMTS[i % 2]
+                    w, h, fmt = _WIDTHS[i % 3], _HEIGHTS[i % 3], (_FMTS[i % 2] if i % 5 else "qnt")
                 cols["image_id"].append(m["image_id"])
                 cols["bytes"].append(data)
                 cols["w"].append(w)
@@ -206,10 +231,19 @@ def images_df(
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB; +inf for identical images."""
-    a = a.astype(np.float64)
-    b = b.astype(np.float64)
-    mse = float(np.mean((a - b) ** 2))
+    """Peak signal-to-noise ratio in dB; +inf for identical images.
+
+    uint8 inputs run the integer path: int16 diff + int32 square +
+    int64 sum — exact (sum of squares < 2^53 for any realistic image)
+    and ~4x less memory traffic than the float64 temporaries, which
+    matters because PSNR runs inside the fused per-image scan."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.dtype == np.uint8 and b.dtype == np.uint8 and a.shape == b.shape:
+        d = a.astype(np.int16) - b.astype(np.int16)
+        mse = float(np.square(d, dtype=np.int32).sum(dtype=np.int64)) / a.size
+    else:
+        mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
     if mse == 0:
         return float("inf")
     return 20.0 * np.log10(255.0 / np.sqrt(mse))

@@ -33,13 +33,40 @@ def test_rle_roundtrip():
         assert np.array_equal(rle_decode(rle_encode(data)), data)
 
 
-@pytest.mark.parametrize("i", [0, 1, 2, 3, 17, 1001])
+@pytest.mark.parametrize("i", [1, 2, 3, 17, 1001])
 def test_codec_lossless_psnr_inf(i):
     data, w, h, fmt = encode_image(i)
+    assert fmt in ("raw", "rle")
     px = decode_image(data, fmt)
     orig = pixels_of(i, w, h)
     assert np.array_equal(px, orig)
     assert psnr(px, orig) == float("inf")
+
+
+@pytest.mark.parametrize("i", [0, 5, 20, 1000])
+def test_codec_lossy_qnt_psnr_finite_above_gate(i):
+    """Every 5th image uses the lossy 2-bit-quantized codec: decoded
+    pixels differ from the original but PSNR stays above the 40 dB
+    gate (≈42.7 dB for uniform 0..3 error) — the gate is exercised
+    with finite values, not just the lossless +inf fast path."""
+    data, w, h, fmt = encode_image(i)
+    assert fmt == "qnt"
+    px = decode_image(data, fmt)
+    orig = pixels_of(i, w, h)
+    assert not np.array_equal(px, orig)
+    p = psnr(px, orig)
+    assert 40.0 <= p < 50.0
+
+
+def test_psnr_gate_rejects_heavy_quantization():
+    """4-bit quantization (~34.9 dB) must FAIL the ≥40 dB gate — the
+    gate is a real discriminator, not a tautology."""
+    from simplepolygon_spark.sources.images import quantize
+
+    orig = pixels_of(42, 32, 24)
+    bad = quantize(orig, bits=4)
+    p = psnr(bad, orig)
+    assert p < 40.0
 
 
 def test_unknown_format_raises():
@@ -67,8 +94,8 @@ def test_decode_features_and_resize(spark):
     df = images_df(spark, 30, partitions=2)
     feats = {r.image_id: r for r in decode_features(df).collect()}
     assert len(feats) == 30
-    f0 = feats["img000000000"]
-    px = pixels_of(0, f0.w, f0.h)
+    f0 = feats["img000000001"]
+    px = pixels_of(1, f0.w, f0.h)
     assert abs(f0.mean_r - px[:, :, 0].mean()) < 1e-9
 
     rs = resize_images(df, 8, 8).collect()

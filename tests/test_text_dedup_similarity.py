@@ -180,3 +180,69 @@ def test_ivf_recall(spark, emb):
     ap = {(r.query_id, r.vec_id) for r in approx}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.6  # probes=3/8 of a 64-dim random corpus
+
+
+def test_simhash_token_hash_matches_duckdb_sql():
+    """The numpy token hash (codepoint Horner + splitmix64) and its SQL
+    rendering must be bit-identical — this is what makes the simhash
+    driver oracle an independent recomputation."""
+    from simplepolygon_spark.operators.dedup import _token_hashes, simhash_token_sql
+
+    toks = ["hello", "a", "zz", "the", "qu1ck", "x" * 25, "café", "mixedCASE7"]
+    np_h = _token_hashes(toks)
+    con = duckdb.connect()
+    vals = ", ".join(f"('{t}')" for t in toks)
+    rows = con.execute(
+        f"SELECT CAST({simhash_token_sql('tok')} AS HUGEINT) "
+        f"FROM (VALUES {vals}) AS t(tok)"
+    ).fetchall()
+    assert [int(x) for x in np_h] == [int(r[0]) for r in rows]
+
+
+def test_simhash_banding_pigeonhole(spark, docs):
+    """At max_hamming=3 with 4 bands, banding recall is exactly 1: the
+    banded pairs equal the brute-force all-pairs popcount filter."""
+    from simplepolygon_spark.operators.dedup import simhash_64, simhash_dup_pairs
+
+    d = docs.limit(200).cache()
+    sigs = {r.doc_id: r.simhash for r in simhash_64(d).collect()}
+    brute = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                brute.add((a, b))
+    banded = {(r.doc_a, r.doc_b) for r in simhash_dup_pairs(d, max_hamming=3).collect()}
+    d.unpersist()
+    assert banded == brute
+
+
+def test_ivf_single_pass_matches_numpy_oracle(spark, emb):
+    """The one-scan IVF (broadcast probe lists, no join) must equal a
+    driver-side numpy replica of assignment → probe → exact cosine."""
+    from simplepolygon_spark.operators.similarity import ivf_topk
+
+    pdf = emb.toPandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, np.float64) for r in pdf.itertuples()}
+    cent_ids = sorted(vecs)[:8]
+    C = np.stack([vecs[c] for c in cent_ids])
+    queries = {q: vecs[q] for q in (1, 13)}
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_topk(emb, queries, C, k=5, probes=3).collect()
+    }
+
+    ids = np.array(sorted(vecs))
+    M = np.stack([vecs[i] for i in ids])
+    d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid, qv in queries.items():
+        dq = ((C - qv[None, :]) ** 2).sum(axis=1)
+        probes = set(np.argsort(dq, kind="stable")[:3].tolist())
+        mask = np.isin(assign, list(probes))
+        sims = Mn[mask] @ (qv / np.linalg.norm(qv))
+        sub_ids = ids[mask]
+        order = np.lexsort((sub_ids, -np.round(sims, 6)))[:5]
+        for rank, vid in enumerate(sub_ids[order], start=1):
+            assert got[(qid, rank)] == vid
