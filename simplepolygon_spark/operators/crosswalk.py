@@ -117,3 +117,129 @@ def crosswalk(
     return images.select(
         id_col, "lon_min", "lat_min", "lon_max", "lat_max"
     ).mapInArrow(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Relational fallback: cell-bucket equi-join (no broadcast index)
+# ---------------------------------------------------------------------------
+
+
+def covers_df(rings_out: DataFrame, cover_level: int = 8, max_level: int = 16) -> DataFrame:
+    """(polygon_id, ring_index, lo, hi, full) — the ring cover as a
+    DataFrame, computed on the executors and NEVER collected.  The
+    relational crosswalk path consumes this when the ring layer is too
+    large to broadcast as an IntervalIndex."""
+    import pandas as pd
+
+    from ..cells import cover_ring
+
+    def run(batches):
+        for pdf in batches:
+            out = {"polygon_id": [], "ring_index": [], "lo": [], "hi": [], "full": []}
+            for pid, ridx, coords in zip(
+                pdf["polygon_id"], pdf["ring_index"], pdf["coords"]
+            ):
+                arr = np.asarray([list(c) for c in coords], dtype=np.float64)
+                for lo, hi, fl in cover_ring(arr, max_level=cover_level, abs_max=max_level):
+                    out["polygon_id"].append(pid)
+                    out["ring_index"].append(int(ridx))
+                    out["lo"].append(int(lo))
+                    out["hi"].append(int(hi))
+                    out["full"].append(int(fl))
+            if not out["polygon_id"]:
+                continue
+            pdf_out = pd.DataFrame(out)
+            pdf_out["ring_index"] = pdf_out["ring_index"].astype("int32")
+            pdf_out["full"] = pdf_out["full"].astype("int32")
+            yield pdf_out
+
+    schema = "polygon_id string, ring_index int, lo long, hi long, full int"
+    return rings_out.select("polygon_id", "ring_index", "coords").mapInPandas(run, schema)
+
+
+def tile_cells_df(images: DataFrame, level: int, id_col: str = "image_id") -> DataFrame:
+    """(id, cell_id): every level-``level`` Morton cell overlapping each
+    tile bbox — pure JVM column expressions (sequence + explode + the
+    shared Morton spread SQL), no Python in the expansion."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells_sql import _spread_sql
+
+    n = 1 << level
+
+    def axis(coord, off, extent):
+        return (
+            f"greatest(0L, least({n - 1}L, "
+            f"CAST(floor((({coord}) + {off}) / {extent} * {n}) AS BIGINT)))"
+        )
+
+    return (
+        images.select(
+            id_col,
+            F.expr(f"sequence({axis('lon_min', 180.0, 360.0)}, {axis('lon_max', 180.0, 360.0)})").alias("ixs"),
+            F.expr(f"sequence({axis('lat_min', 90.0, 180.0)}, {axis('lat_max', 90.0, 180.0)})").alias("iys"),
+        )
+        .select(id_col, F.explode("ixs").alias("ix"), F.col("iys"))
+        .select(id_col, "ix", F.explode("iys").alias("iy"))
+        .select(
+            id_col,
+            F.expr(f"({_spread_sql('ix')} | ({_spread_sql('iy')} << 1))").alias("cell_id"),
+        )
+    )
+
+
+def crosswalk_relational(
+    images: DataFrame,
+    rings_out: DataFrame,
+    level: int = 12,
+    cover_level: int = 8,
+    bucket_level: int = 6,
+    max_level: int = 16,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Crosswalk WITHOUT a broadcast index: a cell-bucket equi-join
+    (PAPERS.md EDBT'15 grid-partitioned spatial join pattern), for when
+    the ring layer outgrows executor memory.
+
+    Both sides key on a coarse bucket (the level-``bucket_level``
+    ancestor cell): a tile cell maps to exactly ONE bucket (its Morton
+    prefix), a ring cover interval expands to the contiguous bucket
+    range it spans — so every qualifying (cell, interval) pair meets in
+    exactly one bucket and the classic grid-join duplicate problem
+    cannot occur (dedup is only needed across a ring's own intervals).
+    The shuffle moves (id, cell) pairs and (bucket, interval) rows —
+    never geometry.  Catalyst plans it as a plain shuffled hash/sort
+    equi-join on ``bucket`` with the interval overlap as a residual
+    filter, which AQE can skew-split; total work is O(cells + interval
+    bucket spans), no cartesian anywhere."""
+    from pyspark.sql import functions as F
+
+    shift_cell = 2 * (max_level - level)
+    shift_b = 2 * (max_level - bucket_level)
+
+    cells = tile_cells_df(images, level, id_col).withColumn(
+        "bucket", F.shiftright(F.col("cell_id"), 2 * (level - bucket_level))
+    )
+    iv = (
+        covers_df(rings_out, cover_level, max_level)
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.shiftright(F.col("lo"), shift_b),
+                    F.shiftright(F.col("hi"), shift_b),
+                )
+            ),
+        )
+        .select("bucket", "lo", "hi", "polygon_id", "ring_index")
+    )
+    cell_lo = F.shiftleft(F.col("cell_id"), shift_cell)
+    cell_hi = F.shiftleft(F.col("cell_id") + 1, shift_cell) - 1
+    joined = cells.join(
+        iv,
+        (cells.bucket == iv.bucket) & (cell_lo <= iv.hi) & (cell_hi >= iv.lo),
+        "left",
+    )
+    return joined.select(
+        id_col, "cell_id", "polygon_id", "ring_index"
+    ).distinct()

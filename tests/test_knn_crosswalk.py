@@ -156,3 +156,28 @@ def test_crosswalk_matches_bruteforce(spark):
                 expected.add((f"t{i:04d}", int(c), None, None))
 
     assert got == expected
+
+
+def test_crosswalk_relational_fallback_equals_broadcast(spark):
+    """The cell-bucket equi-join path (no broadcast index) must produce
+    exactly the broadcast crosswalk's rows, and its plan must be an
+    equi-join on the bucket key (no cartesian)."""
+    from simplepolygon_spark.operators.crosswalk import crosswalk_relational
+    from simplepolygon_spark.sources.images import images_df
+
+    rings = decompose_polygons(footprints_df(spark, grid=2))
+    idx = build_interval_index(rings.collect(), cover_level=8)
+    bc = broadcast_index(spark, idx)
+    imgs = images_df(spark, 300, partitions=4, with_bytes=False)
+
+    a = crosswalk(imgs, bc, level=10)
+    b = crosswalk_relational(
+        imgs, rings, level=10, cover_level=8, bucket_level=6
+    )
+    rows_a = {(r.image_id, r.cell_id, r.polygon_id, r.ring_index) for r in a.collect()}
+    rows_b = {(r.image_id, r.cell_id, r.polygon_id, r.ring_index) for r in b.collect()}
+    assert rows_a == rows_b
+    assert len(rows_a) > 0
+
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
