@@ -641,6 +641,63 @@ def q_crosswalk(spark, sf_dir):
     )
 
 
+def q_crosswalk_relational(spark, sf_dir):
+    """J7 fallback path: the cell-bucket equi-join crosswalk (no
+    broadcast index — the plan for ring layers beyond executor memory)
+    over the same tiles; must equal the broadcast path's oracle."""
+    from simplepolygon_spark.operators.crosswalk import crosswalk_relational
+    from simplepolygon_spark.operators.decompose import decompose_polygons
+    from simplepolygon_spark.sources.footprints import footprints_df
+
+    _ship(spark)
+    rings = decompose_polygons(footprints_df(spark, grid=2))
+    tiles = _events_points(spark, sf_dir).selectExpr(
+        "CAST(event_id AS STRING) AS image_id",
+        "lon - 0.5 AS lon_min",
+        "lat - 0.5 AS lat_min",
+        "lon + 0.5 AS lon_max",
+        "lat + 0.5 AS lat_max",
+    )
+    return crosswalk_relational(
+        tiles, rings, level=10, cover_level=8, bucket_level=6
+    ).orderBy("image_id", "cell_id", "polygon_id", "ring_index")
+
+
+def q_knn_arrow(spark, sf_dir):
+    """J6 scale path: the broadcast vectorized top-k kNN (mapInArrow,
+    no shuffle, no window sort) against rings whose centroids are
+    exactly the fixed query centroids — same oracle as the window
+    form, so both kNN physical strategies are value-verified."""
+    from simplepolygon_spark.operators.knn import knn_join
+    from simplepolygon_spark.operators.tiling import (
+        broadcast_index,
+        build_interval_index,
+    )
+
+    _ship(spark)
+    rows = [
+        {
+            "polygon_id": cid,
+            "ring_index": 0,
+            "coords": [
+                [cx - 2.0, cy - 2.0], [cx + 2.0, cy - 2.0],
+                [cx + 2.0, cy + 2.0], [cx - 2.0, cy + 2.0],
+                [cx - 2.0, cy - 2.0],
+            ],
+        }
+        for cid, cx, cy in KNN_CENTROIDS
+    ]
+    bc = broadcast_index(spark, build_interval_index(rows, cover_level=6))
+    pts = _events_points(spark, sf_dir).selectExpr(
+        "CAST(event_id AS STRING) AS image_id", "lon", "lat"
+    )
+    return (
+        knn_join(pts, bc, k=2, id_col="image_id")
+        .selectExpr("CAST(image_id AS BIGINT) AS event_id", "polygon_id AS cid", "rank")
+        .orderBy("event_id", "rank")
+    )
+
+
 def _q_crosswalk_sql():
     """Oracle: tile→cell expansion, Morton bit-math, and the
     cell-interval overlap join are all recomputed natively in SQL; only
@@ -859,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "crosswalk": q_crosswalk,
+        "crosswalk_relational": q_crosswalk_relational,
+        "knn_arrow": q_knn_arrow,
         "ivf_topk": q_ivf_topk,
         "fused_validate_assign": q_fused_validate_assign,
     }
@@ -885,6 +944,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _q_minhash_sql(),
         "simhash": _q_simhash_sql(),
         "crosswalk": _q_crosswalk_sql(),
+        "crosswalk_relational": _q_crosswalk_sql(),
+        "knn_arrow": _q_knn_sql(),
         "ivf_topk": _q_ivf_sql(),
         "fused_validate_assign": _q_fused_sql(),
     }
