@@ -455,6 +455,76 @@ def _q_lang_id_sql():
     """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact deterministic n-per-stratum sample (md5-order ranking);
+    oracle reproduces the identical ranking in SQL."""
+    from simplepolygon_spark.operators.sampling import stratified_sample
+
+    d = _read(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, "lang", 20)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def _q_stratified_sample_sql():
+    return """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents) WHERE rn <= 20
+    """
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing into 1000-token bins (window cumsum)."""
+    from simplepolygon_spark.operators.sampling import pack_sequences
+
+    d = _read(spark, sf_dir, "documents")
+    return pack_sequences(d, window_tokens=1000).orderBy("doc_id")
+
+
+def _q_pack_sequences_sql():
+    return r"""
+        WITH t AS (SELECT doc_id,
+                          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+                   FROM documents),
+        p AS (SELECT doc_id, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+              FROM t)
+        SELECT doc_id, n_tokens,
+               CAST(floor(prefix / 1000.0) AS BIGINT) AS bin_id,
+               CAST(prefix % 1000 AS BIGINT) AS bin_offset
+        FROM p
+    """
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train/benchmark overlap removal: docs whose normalized
+    fingerprint matches the benchmark slice (doc_id % 10 = 0) drop out
+    — including cross-id exact duplicates of benchmark docs."""
+    from simplepolygon_spark.operators.sampling import decontaminate
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 10 == 0)
+    return decontaminate(d, bench).select("doc_id").orderBy("doc_id")
+
+
+def _q_decontaminate_sql():
+    norm = (
+        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+        " ' +', ' ', 'g')))"
+    )
+    return f"""
+        WITH fp AS (SELECT doc_id, {norm} AS f FROM documents)
+        SELECT doc_id FROM fp
+        WHERE f NOT IN (SELECT DISTINCT f FROM fp WHERE doc_id % 10 = 0)
+    """
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from simplepolygon_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -565,6 +635,33 @@ def _q_minhash_sql():
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    """
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components (min-label
+    propagation) over the verified MinHash pair graph — the
+    canonical-document selection step; oracle recomputes the pairs
+    brute-force in SQL and the components with a recursive CTE."""
+    from simplepolygon_spark.operators.dedup import dup_clusters, minhash_dup_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    return dup_clusters(minhash_dup_pairs(d, threshold=0.5)).orderBy("doc_id")
+
+
+def _q_dup_clusters_sql():
+    return f"""
+        WITH RECURSIVE pairs AS ({_q_minhash_sql()}),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL
+                  SELECT doc_b AS a, doc_a AS b FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+        )
+        SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
     """
 
 
@@ -911,9 +1008,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "embedding_dups": q_embedding_dups,
         "cosine_topk": q_cosine_topk,
         "minhash_pairs": q_minhash_pairs,
+        "dup_clusters": q_dup_clusters,
         "simhash": q_simhash,
         "crosswalk": q_crosswalk,
         "crosswalk_relational": q_crosswalk_relational,
@@ -938,10 +1039,14 @@ def oracle_sql() -> dict[str, str]:
         "quality": _q_quality_sql(),
         "lang_id": _q_lang_id_sql(),
         "ngram_jaccard": _q_ngram_jaccard_sql(),
+        "stratified_sample": _q_stratified_sample_sql(),
+        "pack_sequences": _q_pack_sequences_sql(),
+        "decontaminate": _q_decontaminate_sql(),
         "embedding_dups": _q_embedding_dups_sql(),
         "cosine_topk": _q_cosine_topk_sql(),
         "decompose_rings": _q_decompose_rings_sql(),
         "minhash_pairs": _q_minhash_sql(),
+        "dup_clusters": _q_dup_clusters_sql(),
         "simhash": _q_simhash_sql(),
         "crosswalk": _q_crosswalk_sql(),
         "crosswalk_relational": _q_crosswalk_sql(),

@@ -409,3 +409,69 @@ def embedding_dup_pairs(
         F.col("b.vec_id").alias("vec_b"),
         F.round(cos, 6).alias("cosine"),
     ).where(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the dup-pair graph
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """(doc_id, cluster_id): connected components of the duplicate-pair
+    graph, cluster_id = smallest doc_id reachable — the canonical-
+    document selection step of a dedup pipeline (keep min, drop rest).
+
+    Distributed min-label propagation: each round every node takes the
+    minimum of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds.  Dup clusters from LSH are near-cliques
+    (diameter 2-3), so this is 2-4 joins of the (small) pair set, each
+    a plain shuffled equi-join Catalyst can plan — no driver-side
+    union-find, no collect of the edge list.  ``max_iters`` bounds
+    pathological chain graphs; hitting it raises rather than returning
+    a half-converged labeling."""
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("nl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(f"dup_clusters did not converge in {max_iters} rounds")

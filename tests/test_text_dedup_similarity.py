@@ -246,3 +246,29 @@ def test_ivf_single_pass_matches_numpy_oracle(spark, emb):
         order = np.lexsort((sub_ids, -np.round(sims, 6)))[:5]
         for rank, vid in enumerate(sub_ids[order], start=1):
             assert got[(qid, rank)] == vid
+
+
+def test_dup_clusters_matches_union_find(spark):
+    """Distributed min-label propagation == driver union-find on a
+    graph with a diameter-4 chain, a triangle, and an isolated pair."""
+    from simplepolygon_spark.operators.dedup import dup_clusters
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pdf).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    expect = {x: find(x) for x in parent}
+    assert got == expect
