@@ -75,9 +75,10 @@ def main() -> None:
     footprints_df(spark, grid=96).write.mode("overwrite").parquet(fp_dir)
     fp = spark.read.parquet(fp_dir)
     decompose_polygons(fp).count()  # warm the python workers
-    rings_df = decompose_polygons(fp).persist()
     n_polygons = fp.count()
-    timed("decompose", rings_df.count)
+    # fresh plan per repeat — a persisted DF would make repeat 2 a
+    # cache read, not a decomposition
+    timed("decompose", lambda: decompose_polygons(fp).count())
     # the join index uses a smaller grid (the dim side stays broadcastable)
     rings_df8 = decompose_polygons(footprints_df(spark, grid=8)).persist()
     rings_df8.count()
