@@ -213,6 +213,35 @@ def q_pip_join(spark, sf_dir):
     )
 
 
+def q_pip_join_relational(spark, sf_dir):
+    """J5 fallback path: PIP via the cell-bucket equi-join (no
+    broadcast index — for ring layers beyond executor memory); same
+    ray-cast oracle as the broadcast path."""
+    from simplepolygon_spark.operators.decompose import (
+        POLYGONS_SCHEMA,
+        decompose_polygons,
+    )
+    from simplepolygon_spark.operators.tiling import pip_join_relational
+
+    _ship(spark)
+    polys = spark.createDataFrame(
+        [
+            (name, [[[float(x), float(y)] for x, y in ring]])
+            for name, ring in PIP_RINGS.items()
+        ],
+        POLYGONS_SCHEMA,
+    )
+    rings = decompose_polygons(polys)
+    pts = _events_points(spark, sf_dir).selectExpr(
+        "CAST(event_id AS STRING) AS event_id", "lon", "lat"
+    )
+    return (
+        pip_join_relational(pts, rings, cover_level=9, id_col="event_id")
+        .select("event_id", "polygon_id")
+        .orderBy("event_id", "polygon_id")
+    )
+
+
 def _q_pip_join_sql():
     parts = []
     for name, ring in PIP_RINGS.items():
@@ -997,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decompose_rings": q_decompose_rings,
         "cell_ids": q_cell_ids,
         "pip_join": q_pip_join,
+        "pip_join_relational": q_pip_join_relational,
         "knn": q_knn,
         "window_lead": q_window_lead,
         "minby_leftmost": q_minby_leftmost,
@@ -1028,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cell_ids": _q_cell_ids_sql(),
         "pip_join": _q_pip_join_sql(),
+        "pip_join_relational": _q_pip_join_sql(),
         "knn": _q_knn_sql(),
         "window_lead": _q_window_lead_sql(),
         "minby_leftmost": _q_minby_sql(),

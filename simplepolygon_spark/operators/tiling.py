@@ -361,3 +361,111 @@ def pip_join(
         ]
     )
     return points.select(id_col, lon_col, lat_col).mapInArrow(run, spark_schema)
+
+
+# ---------------------------------------------------------------------------
+# Relational fallback: PIP join without a broadcast index
+# ---------------------------------------------------------------------------
+
+
+def pip_join_relational(
+    points: DataFrame,
+    rings_out: DataFrame,
+    cover_level: int = 10,
+    bucket_level: int = 6,
+    max_level: int = MAX_LEVEL,
+    id_col: str = "image_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """PIP join for ring layers too large to broadcast as an
+    IntervalIndex — the same cell-bucket equi-join shape as
+    ``crosswalk_relational``:
+
+      points: cell at max level (JVM Morton expr) → coarse bucket (its
+          unique Morton prefix);
+      covers: distributed FULL/PARTIAL intervals (covers_df, never
+          collected) exploded to the bucket range they span;
+      join:   equi on bucket + ``lo <= cell <= hi`` residual.  A ring's
+          merged intervals are disjoint, so a point matches ≤ 1
+          interval per ring — no dedup needed, no cartesian.
+      FULL intervals accept outright (Raster-Intervals shortcut);
+      PARTIAL candidates join the ring geometry by (polygon_id,
+          ring_index) — only candidate rows ever carry coordinates —
+          and refine with the vectorized strict ray-cast, grouped per
+          ring inside each Arrow batch.
+
+    Output contract identical to ``pip_join``."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ..functions.cells_sql import cell_sql_expr
+    from .crosswalk import covers_df
+
+    shift_b = 2 * (max_level - bucket_level)
+    pts = points.select(
+        id_col,
+        lon_col,
+        lat_col,
+        F.expr(cell_sql_expr(lon_col, lat_col, max_level)).alias("cell"),
+    ).withColumn("bucket", F.shiftright(F.col("cell"), shift_b))
+    cov = (
+        covers_df(rings_out, cover_level, max_level)
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.shiftright(F.col("lo"), shift_b),
+                    F.shiftright(F.col("hi"), shift_b),
+                )
+            ),
+        )
+        .select("bucket", "lo", "hi", "full", "polygon_id", "ring_index")
+    )
+    cand = pts.join(
+        cov,
+        (pts.bucket == cov.bucket)
+        & (pts.cell >= cov.lo)
+        & (pts.cell <= cov.hi),
+    ).select(id_col, lon_col, lat_col, "full", "polygon_id", "ring_index")
+
+    accepted = cand.where(F.col("full") == 1).drop("full")
+
+    partial = (
+        cand.where(F.col("full") == 0)
+        .drop("full")
+        .join(rings_out.select("polygon_id", "ring_index", "coords"),
+              ["polygon_id", "ring_index"])
+    )
+
+    out_schema = (
+        f"{id_col} string, {lon_col} double, {lat_col} double, "
+        "polygon_id string, ring_index int"
+    )
+
+    def refine(batches):
+        for pdf in batches:
+            keep_parts = []
+            for (_pid, _ridx), grp in pdf.groupby(
+                ["polygon_id", "ring_index"], sort=False
+            ):
+                ring = np.asarray(
+                    [list(c) for c in grp["coords"].iloc[0]], dtype=np.float64
+                )
+                inside = point_in_ring_batch(
+                    grp[lon_col].to_numpy(np.float64),
+                    grp[lat_col].to_numpy(np.float64),
+                    ring,
+                )
+                if inside.any():
+                    keep_parts.append(grp.loc[inside, [id_col, lon_col, lat_col, "polygon_id", "ring_index"]])
+            if keep_parts:
+                out = pd.concat(keep_parts, ignore_index=True)
+                out["ring_index"] = out["ring_index"].astype("int32")
+                yield out
+
+    refined = partial.mapInPandas(refine, out_schema)
+    return accepted.select(
+        id_col, lon_col, lat_col, "polygon_id", "ring_index"
+    ).unionByName(refined)

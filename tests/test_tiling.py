@@ -70,3 +70,45 @@ def test_full_cells_reduce_refine_work(spark):
     fp = footprints_df(spark, grid=2)
     index = build_interval_index(decompose_polygons(fp).collect(), cover_level=10)
     assert index.stats["n_full"] > 0
+
+
+def test_pip_join_relational_equals_broadcast(spark):
+    """The no-broadcast PIP fallback (bucket equi-join + FULL shortcut
+    + grouped exact refine) must equal the broadcast pip_join exactly,
+    with an equi-join plan (no cartesian)."""
+    import numpy as np
+    import pandas as pd
+
+    from simplepolygon_spark.operators.decompose import decompose_polygons
+    from simplepolygon_spark.operators.tiling import (
+        broadcast_index,
+        build_interval_index,
+        pip_join,
+        pip_join_relational,
+    )
+    from simplepolygon_spark.sources.footprints import WINDOW, footprints_df
+
+    rings = decompose_polygons(footprints_df(spark, grid=3))
+    bc = broadcast_index(spark, build_interval_index(rings.collect(), cover_level=9))
+    rng = np.random.default_rng(77)
+    n = 2000
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": [f"p{i:05d}" for i in range(n)],
+                "lon": rng.uniform(WINDOW[0], WINDOW[2], n),
+                "lat": rng.uniform(WINDOW[1], WINDOW[3], n),
+            }
+        )
+    ).repartition(4)
+
+    a = {
+        (r.image_id, r.polygon_id, r.ring_index)
+        for r in pip_join(pts, bc).collect()
+    }
+    rel = pip_join_relational(pts, rings, cover_level=9, bucket_level=6)
+    b = {(r.image_id, r.polygon_id, r.ring_index) for r in rel.collect()}
+    assert a == b
+    assert len(a) > 0
+    plan = rel._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
