@@ -351,19 +351,30 @@ def simhash_64(docs: DataFrame) -> DataFrame:
 
 
 def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Candidates share ≥1 of 4 bands (pigeonhole for hamming ≤ 48, and a
-    strong filter in practice); verified by exact popcount distance."""
-    sh = simhash_64(docs)
-    pairs = None
-    for bnd in range(4):
-        a = sh.select(
-            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), F.col(f"band{bnd}").alias("bk")
-        )
-        b = sh.select(
-            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), F.col(f"band{bnd}").alias("bk")
-        )
-        p = a.join(b, "bk").where(F.col("doc_a") < F.col("doc_b")).drop("bk")
-        pairs = p if pairs is None else pairs.unionByName(p)
+    """Candidates share ≥1 of 4 bands (pigeonhole: recall is exactly 1
+    for hamming ≤ 3, a strong filter beyond); verified by exact
+    popcount distance.
+
+    Plan shape: the four bands are MELTED with one posexplode into
+    (doc_id, simhash, band, key) rows and self-joined on (band, key) —
+    ONE signature pass over the corpus and one equi-join, instead of
+    the previous four union branches that each re-ran the Arrow kernel."""
+    sh = simhash_64(docs).select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array("band0", "band1", "band2", "band3")).alias(
+            "band", "bk"
+        ),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bk"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bk"
+    )
+    pairs = (
+        a.join(b, ["band", "bk"]).where(F.col("doc_a") < F.col("doc_b")).drop("band", "bk")
+    )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         pairs.distinct()

@@ -272,3 +272,51 @@ def test_dup_clusters_matches_union_find(spark):
         union(a, b)
     expect = {x: find(x) for x in parent}
     assert got == expect
+
+
+def test_pack_sequences_invariants(spark, docs):
+    """Packing invariants: offsets inside the window, bins contiguous
+    and monotone in doc order, prefix telescopes exactly."""
+    from simplepolygon_spark.operators.sampling import pack_sequences
+
+    W = 500
+    rows = pack_sequences(docs.limit(200), window_tokens=W).orderBy("doc_id").collect()
+    prefix = 0
+    last_bin = 0
+    for r in rows:
+        assert 0 <= r.bin_offset < W
+        assert r.bin_id == prefix // W
+        assert r.bin_offset == prefix % W
+        assert r.bin_id >= last_bin  # bins never go backwards
+        last_bin = r.bin_id
+        prefix += r.n_tokens
+
+
+def test_stratified_sample_invariants(spark, docs):
+    """≤ n rows per stratum, subset of input, and deterministic across
+    invocations (md5-order, not RNG)."""
+    from simplepolygon_spark.operators.sampling import stratified_sample
+
+    a = stratified_sample(docs, "lang", 7).select("doc_id", "lang").collect()
+    b = stratified_sample(docs, "lang", 7).select("doc_id", "lang").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from collections import Counter
+
+    per = Counter(r.lang for r in a)
+    assert all(c <= 7 for c in per.values())
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert {r.doc_id for r in a} <= all_ids
+
+
+def test_decontaminate_removes_exact_dupes_of_benchmark(spark, docs):
+    """Every doc sharing a fingerprint with the benchmark slice is
+    gone; every other doc survives."""
+    from simplepolygon_spark.operators.sampling import decontaminate
+    from simplepolygon_spark.operators.text import fingerprints
+
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    kept = {r.doc_id for r in decontaminate(docs, bench).select("doc_id").collect()}
+    fps = {r.doc_id: r.fingerprint for r in fingerprints(docs).collect()}
+    bench_fps = {fps[d] for d in fps if d % 7 == 0}
+    for d, f in fps.items():
+        assert (d in kept) == (f not in bench_fps)
