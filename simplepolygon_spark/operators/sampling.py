@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import fingerprints
+from .text import fingerprint_col
 
 
 def stratified_sample(
@@ -75,9 +75,14 @@ def decontaminate(
 ) -> DataFrame:
     """Training rows whose normalized text fingerprint does NOT occur
     in the benchmark set (exact-overlap decontamination).  The
-    benchmark fingerprint dim is broadcast; the train side streams."""
-    train_fp = train.join(fingerprints(train), id_col)
-    bench_fp = fingerprints(benchmark).select("fingerprint").distinct()
+    fingerprint is computed IN the train scan (a column, not a join —
+    joining the corpus back to itself would shuffle 100 TB); the
+    benchmark fingerprint dim is broadcast and the anti-join is
+    therefore shuffle-free on the fact side."""
+    train_fp = train.withColumn("fingerprint", fingerprint_col("text"))
+    bench_fp = (
+        benchmark.select(fingerprint_col("text").alias("fingerprint")).distinct()
+    )
     return train_fp.join(
         F.broadcast(bench_fp), "fingerprint", "left_anti"
     ).drop("fingerprint")

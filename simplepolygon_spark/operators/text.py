@@ -87,12 +87,19 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", guess.alias("lang_guess"))
 
 
+def fingerprint_col(text_col: str = "text"):
+    """The fingerprint as a Column — md5 of lowercase text with
+    punctuation stripped and whitespace collapsed — so consumers can
+    attach it in-scan instead of joining the corpus back to itself."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text_col), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return F.md5(norm)
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """md5 of lowercase text with punctuation stripped and whitespace
     collapsed — the canonical near-exact-dedup key."""
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
-    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    return docs.select("doc_id", fingerprint_col("text").alias("fingerprint"))
