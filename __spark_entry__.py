@@ -639,7 +639,10 @@ def q_minhash_pairs(spark, sf_dir):
     from simplepolygon_spark.operators.dedup import minhash_dup_pairs
 
     d = _read(spark, sf_dir, "documents")
-    return minhash_dup_pairs(d, threshold=0.5).orderBy("doc_a", "doc_b")
+    par = spark.sparkContext.defaultParallelism
+    return minhash_dup_pairs(d, threshold=0.5, rebalance=par).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def _q_minhash_sql():
@@ -675,7 +678,10 @@ def q_dup_clusters(spark, sf_dir):
     from simplepolygon_spark.operators.dedup import dup_clusters, minhash_dup_pairs
 
     d = _read(spark, sf_dir, "documents")
-    return dup_clusters(minhash_dup_pairs(d, threshold=0.5)).orderBy("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    return dup_clusters(
+        minhash_dup_pairs(d, threshold=0.5, rebalance=par)
+    ).orderBy("doc_id")
 
 
 def _q_dup_clusters_sql():

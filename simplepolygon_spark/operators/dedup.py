@@ -161,6 +161,7 @@ def minhash_dup_pairs(
     k: int = 5,
     threshold: float = 0.5,
     est_margin: float = 0.1,
+    rebalance: int | None = None,
 ) -> DataFrame:
     """LSH candidates (bucket equi-join) → signature-estimate pre-filter
     (matching-minhash fraction ≥ threshold − est_margin) → exact
@@ -181,12 +182,13 @@ def minhash_dup_pairs(
     the whole bench (26s); 8-row bands put the S-curve knee above the
     floor (240x fewer candidates, 3.7s) while keeping per-pair recall
     >0.998 at j>=0.9."""
-    # rebalance the signature pass: a small single-file table arrives as
-    # one split and would serialize the Arrow kernel; at warehouse scale
-    # the table has many splits and this shuffle of (doc_id, text) is
-    # noise next to the signature compute it parallelizes
-    spark = docs.sparkSession
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # rebalance (opt-in): a small single-file table arrives as one
+    # split and serializes the Arrow signature kernel — pass a target
+    # partition count to spread it.  Deliberately NOT the default: at
+    # warehouse scale the table already has many splits and an
+    # unconditional repartition would shuffle the whole text corpus.
+    if rebalance:
+        docs = docs.repartition(rebalance)
     sigs = minhash_doc_sigs(docs, num_hashes, k).persist()
     bk = _band_buckets_from_sigs(sigs, bands, num_hashes // bands)
     a, b = bk.alias("a"), bk.alias("b")
