@@ -301,6 +301,28 @@ def simhash_token_sql(tok: str) -> str:
     return f"xor({z2}, ({z2}) >> 31)"
 
 
+def simhash_of_texts(texts: list) -> np.ndarray:
+    """uint64 SimHash per text — the shared vectorized kernel behind
+    both the batch operator and the streaming near-dup suppressor."""
+    shifts = np.arange(64, dtype=np.uint64)
+    n = len(texts)
+    toks_per_doc = [t.lower().split() for t in texts]
+    counts = np.array([len(t) for t in toks_per_doc], np.int64)
+    sig = np.zeros(n, np.uint64)
+    nz = np.nonzero(counts > 0)[0]
+    # chunk the T×64 vote matrix to a bounded footprint
+    for s in range(0, len(nz), 2048):
+        dz = nz[s : s + 2048]
+        all_toks = [t for i in dz for t in toks_per_doc[i]]
+        H = _token_hashes(all_toks)
+        bits = ((H[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        offsets = np.concatenate([[0], np.cumsum(counts[dz])[:-1]])
+        sums = np.add.reduceat(bits, offsets, axis=0)
+        votes = (sums * 2 > counts[dz][:, None]).astype(np.uint64)
+        sig[dz] = (votes << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return sig
+
+
 def simhash_64(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash, band0..band3): 64-bit SimHash over whitespace
     tokens (occurrence-weighted majority vote per bit) + four 16-bit
@@ -309,29 +331,12 @@ def simhash_64(docs: DataFrame) -> DataFrame:
     schema = "doc_id long, simhash long, band0 int, band1 int, band2 int, band3 int"
 
     def run(batches):
-        shifts = np.arange(64, dtype=np.uint64)
         for batch in batches:
             ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             texts = batch.column("text").to_pylist()
-            n = len(ids)
-            if n == 0:
+            if len(ids) == 0:
                 continue
-            toks_per_doc = [t.lower().split() for t in texts]
-            counts = np.array([len(t) for t in toks_per_doc], np.int64)
-            sig = np.zeros(n, np.uint64)
-            nz = np.nonzero(counts > 0)[0]
-            # chunk the T×64 vote matrix to a bounded footprint
-            for s in range(0, len(nz), 2048):
-                dz = nz[s : s + 2048]
-                all_toks = [t for i in dz for t in toks_per_doc[i]]
-                H = _token_hashes(all_toks)
-                bits = ((H[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
-                    np.int32
-                )
-                offsets = np.concatenate([[0], np.cumsum(counts[dz])[:-1]])
-                sums = np.add.reduceat(bits, offsets, axis=0)
-                votes = (sums * 2 > counts[dz][:, None]).astype(np.uint64)
-                sig[dz] = (votes << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            sig = simhash_of_texts(texts)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids.astype(np.int64), pa.int64()),

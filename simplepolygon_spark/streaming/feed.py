@@ -69,3 +69,43 @@ def stream_tile_assign(feed: DataFrame, index_bc) -> DataFrame:
     from ..operators.tiling import pip_join
 
     return pip_join(feed, index_bc)
+
+
+def dedupe_near_feed(doc_feed: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming near-duplicate suppression for a document feed
+    (doc_id, text, ts): each micro-batch computes the 64-bit SimHash
+    with the SAME vectorized kernel as the batch operator (stateless
+    per row — stream-safe), then drops signature-equal re-posts within
+    the watermark horizon.
+
+    Signature equality catches token-identical and near-identical
+    re-posts (the dominant streaming dup mode); banded hamming>0
+    matching needs multi-key LSH membership, which is not expressible
+    as one dropDuplicates key — that remains the batch job
+    (operators.dedup.simhash_dup_pairs) run over the landed table."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..operators.dedup import simhash_of_texts
+
+    schema = "doc_id long, text string, ts timestamp, simhash long"
+
+    def run(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            sig = simhash_of_texts(batch.column("text").to_pylist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("text"),
+                    batch.column("ts"),
+                    pa.array(sig.view(np.int64), pa.int64()),
+                ],
+                names=["doc_id", "text", "ts", "simhash"],
+            )
+
+    sigs = doc_feed.select("doc_id", "text", "ts").mapInArrow(run, schema)
+    return sigs.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["simhash"]
+    )

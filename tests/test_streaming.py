@@ -85,3 +85,45 @@ def test_stream_tile_assign_matches_batch(spark, tmp_path):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_dedupe_near_feed_suppresses_reposts(spark, tmp_path):
+    """Token-identical re-posts (different doc_ids, cosmetic whitespace/
+    case changes) collapse to one survivor per signature within the
+    watermark; genuinely distinct texts all survive."""
+    import pandas as pd
+
+    from simplepolygon_spark.operators.dedup import simhash_of_texts
+    from simplepolygon_spark.streaming.feed import dedupe_near_feed
+
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+    ]
+    rows = []
+    ts0 = pd.Timestamp("2026-01-01 00:00:00")
+    did = 0
+    for i, t in enumerate(base):
+        for variant in (t, t.upper(), "  " + t + "  "):  # same tokens
+            rows.append((did, variant, ts0 + pd.Timedelta(seconds=did)))
+            did += 1
+    rows.append((did, "a completely different document body", ts0))
+    feed_dir = str(tmp_path / "docfeed")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    ).write.mode("overwrite").parquet(feed_dir)
+
+    st = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(
+        feed_dir
+    )
+    out = dedupe_near_feed(st, watermark="10 minutes")
+    _run_stream(out, tmp_path, "near_dedup")
+    got = spark.sql("SELECT * FROM near_dedup").collect()
+
+    # one survivor per distinct signature == 4 (3 bases + 1 distinct)
+    assert len(got) == 4
+    assert len({r.simhash for r in got}) == 4
+    # and the signatures match the batch kernel exactly
+    expect = {int(s) for s in simhash_of_texts(base + ["a completely different document body"]).view("int64")}
+    assert {r.simhash for r in got} == expect
