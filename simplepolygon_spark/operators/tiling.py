@@ -430,14 +430,22 @@ def pip_join_relational(
         & (pts.cell <= cov.hi),
     ).select(id_col, lon_col, lat_col, "full", "polygon_id", "ring_index")
 
-    accepted = cand.where(F.col("full") == 1).drop("full")
-
-    partial = (
-        cand.where(F.col("full") == 0)
-        .drop("full")
-        .join(rings_out.select("polygon_id", "ring_index", "coords"),
-              ["polygon_id", "ring_index"])
+    # attach ring geometry to PARTIAL candidates only, in the SAME plan
+    # branch (a split into accepted/partial DataFrames would compute the
+    # candidate subtree twice — Spark only reuses exchanges it can see
+    # are identical, and the two filters break that)
+    rg = rings_out.select(
+        F.col("polygon_id").alias("r_pid"),
+        F.col("ring_index").alias("r_ridx"),
+        "coords",
     )
+    withco = cand.join(
+        rg,
+        (cand.polygon_id == rg.r_pid)
+        & (cand.ring_index == rg.r_ridx)
+        & (cand.full == 0),
+        "left",
+    ).select(id_col, lon_col, lat_col, "full", "polygon_id", "ring_index", "coords")
 
     out_schema = (
         f"{id_col} string, {lon_col} double, {lat_col} double, "
@@ -445,9 +453,14 @@ def pip_join_relational(
     )
 
     def refine(batches):
+        cols = [id_col, lon_col, lat_col, "polygon_id", "ring_index"]
         for pdf in batches:
             keep_parts = []
-            for (_pid, _ridx), grp in pdf.groupby(
+            fullm = pdf["full"] == 1
+            if fullm.any():
+                keep_parts.append(pdf.loc[fullm, cols])
+            part = pdf.loc[~fullm]
+            for (_pid, _ridx), grp in part.groupby(
                 ["polygon_id", "ring_index"], sort=False
             ):
                 ring = np.asarray(
@@ -459,13 +472,10 @@ def pip_join_relational(
                     ring,
                 )
                 if inside.any():
-                    keep_parts.append(grp.loc[inside, [id_col, lon_col, lat_col, "polygon_id", "ring_index"]])
+                    keep_parts.append(grp.loc[inside, cols])
             if keep_parts:
                 out = pd.concat(keep_parts, ignore_index=True)
                 out["ring_index"] = out["ring_index"].astype("int32")
                 yield out
 
-    refined = partial.mapInPandas(refine, out_schema)
-    return accepted.select(
-        id_col, lon_col, lat_col, "polygon_id", "ring_index"
-    ).unionByName(refined)
+    return withco.mapInPandas(refine, out_schema)
