@@ -94,7 +94,16 @@ def write_with_lineage(
     result.withColumn("run_id", F.lit(run_id)).write.mode("append").partitionBy(
         "part_id"
     ).parquet(data_path)
-    metrics = lineage_metrics(result, run_id)
+    # metrics from the files just WRITTEN (run_id filter + partition
+    # pruning), not from a re-execution of the result plan — the
+    # checksum in the lineage log is authoritative for the bytes on
+    # disk even if an upstream were non-deterministic between runs
+    written = (
+        result.sparkSession.read.parquet(data_path)
+        .where(F.col("run_id") == run_id)
+        .drop("run_id")
+    )
+    metrics = lineage_metrics(written, run_id)
     full = (
         all_part_ids.select(F.col("part_id").cast("int"))
         .distinct()
