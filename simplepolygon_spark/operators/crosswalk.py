@@ -157,10 +157,21 @@ def covers_df(rings_out: DataFrame, cover_level: int = 8, max_level: int = 16) -
     return rings_out.select("polygon_id", "ring_index", "coords").mapInPandas(run, schema)
 
 
-def tile_cells_df(images: DataFrame, level: int, id_col: str = "image_id") -> DataFrame:
+def tile_cells_df(
+    images: DataFrame,
+    level: int,
+    id_col: str = "image_id",
+    max_cells_per_tile: int = 65536,
+) -> DataFrame:
     """(id, cell_id): every level-``level`` Morton cell overlapping each
     tile bbox — pure JVM column expressions (sequence + explode + the
-    shared Morton spread SQL), no Python in the expansion."""
+    shared Morton spread SQL), no Python in the expansion.
+
+    ``max_cells_per_tile`` guards against the single-row skew bomb: one
+    continent-sized (or corrupt) bbox at level 12 would otherwise
+    explode to ~16.7M rows.  Oversized tiles FAIL LOUDLY (raise_error
+    carrying the tile id) rather than being silently dropped — callers
+    with legitimately huge tiles pre-coarsen the level or pre-split."""
     from pyspark.sql import functions as F
 
     from ..functions.cells_sql import _spread_sql
@@ -173,9 +184,18 @@ def tile_cells_df(images: DataFrame, level: int, id_col: str = "image_id") -> Da
             f"CAST(floor((({coord}) + {off}) / {extent} * {n}) AS BIGINT)))"
         )
 
+    nx = f"({axis('lon_max', 180.0, 360.0)} - {axis('lon_min', 180.0, 360.0)} + 1)"
+    ny = f"({axis('lat_max', 90.0, 180.0)} - {axis('lat_min', 90.0, 180.0)} + 1)"
+    guard = (
+        f"CASE WHEN {nx} * {ny} > {max_cells_per_tile} THEN "
+        f"raise_error(concat('tile ', {id_col}, ' expands to ', "
+        f"CAST({nx} * {ny} AS STRING), ' cells at level {level} "
+        f"(cap {max_cells_per_tile})')) ELSE {id_col} END"
+    )
+
     return (
         images.select(
-            id_col,
+            F.expr(guard).alias(id_col),
             F.expr(f"sequence({axis('lon_min', 180.0, 360.0)}, {axis('lon_max', 180.0, 360.0)})").alias("ixs"),
             F.expr(f"sequence({axis('lat_min', 90.0, 180.0)}, {axis('lat_max', 90.0, 180.0)})").alias("iys"),
         )

@@ -489,7 +489,12 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             edges.unpersist()
+            # labels stays persisted: the returned frame reads from it
+            # (unpersisting here would force a full re-iteration on the
+            # consumer's first action)
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
             )
+    edges.unpersist()
+    labels.unpersist()
     raise RuntimeError(f"dup_clusters did not converge in {max_iters} rounds")

@@ -15,9 +15,11 @@ contract over DataFrame columns:
                             winding/netWinding, and NO ``index`` key on
                             the zero-intersection fast path (quirk Q3).
 
-The FeatureCollection assembly is relational (collect_list of structs +
-to_json) so Catalyst handles it; only the decomposition kernel itself is
-an Arrow stage.
+The FeatureCollection assembly runs as groupBy(polygon_id).applyInPandas
+— one shuffle of the (small) ring layer buys the guarantee that a
+polygon's rings can never straddle Arrow batch boundaries (which the
+earlier mapInPandas assembly silently got wrong for >batch-size
+polygons); the decomposition kernel itself is the other Arrow stage.
 """
 
 from __future__ import annotations

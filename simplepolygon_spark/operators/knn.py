@@ -6,8 +6,10 @@ engine semantics; ties break on ring id for determinism.
 
 Scale plan: the ring layer is the broadcastable dim side, so the right
 physical strategy is **broadcast + per-batch vectorized top-k** — each
-Arrow batch computes a B×R distance matrix in numpy and argpartitions
-to k, emitting B·k rows with *no shuffle and no window sort*.  The
+Arrow batch computes a B×R distance matrix in numpy and selects k via
+argpartition + a candidate-slice sort (exact full-sort fallback only
+for rows whose boundary distance ties beyond the partition), emitting
+B·k rows with *no shuffle and no window sort*.  The
 window-function formulation (candidate join → row_number() ≤ k) exists
 as ``knn_join_window`` for oracle parity and for the case where the
 ring side outgrows a broadcast.
@@ -62,7 +64,24 @@ def knn_join(
             d2 = (lon[:, None] - cents_r[None, :, 0]) ** 2 + (
                 lat[:, None] - cents_r[None, :, 1]
             ) ** 2
-            order = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            if R <= 256:
+                order = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            else:
+                # hot path: O(B·R) argpartition + O(B·k log k) candidate
+                # sort; rows whose k-boundary distance ties candidates
+                # OUTSIDE the partition (rare) fall back to the exact
+                # full sort so ties never resolve arbitrarily
+                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                part_sorted = np.sort(part, axis=1)  # ascending rank order
+                cd2 = np.take_along_axis(d2, part_sorted, axis=1)
+                ord2 = np.argsort(cd2, axis=1, kind="stable")
+                order = np.take_along_axis(part_sorted, ord2, axis=1)
+                thresh = cd2.max(axis=1)
+                spill = (d2 <= thresh[:, None]).sum(axis=1) > kk
+                if spill.any():
+                    order[spill] = np.argsort(
+                        d2[spill], axis=1, kind="stable"
+                    )[:, :kk]
             sel = rank_order[order]
             seld = np.take_along_axis(d2, order, axis=1)
             out_id = np.repeat(ids, kk)

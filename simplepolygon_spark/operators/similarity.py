@@ -78,13 +78,18 @@ def cosine_topk_arrow(
             En = emb / np.linalg.norm(emb, axis=1, keepdims=True)
             sims = En @ Qn.T  # B × Q
             kk = min(k, len(vids))
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # kk × Q
             o_q, o_v, o_c = [], [], []
             for qi, qid in enumerate(qids):
-                sel = top[:, qi]
+                # per-batch selection under the SAME total order as the
+                # global window (rounded cosine desc, vec_id asc) — an
+                # argpartition on unrounded values could drop a row that
+                # ties at the boundary after rounding, making output
+                # depend on Arrow batch boundaries
+                rounded = np.round(sims[:, qi], 6)
+                sel = np.lexsort((vids, -rounded))[:kk]
                 o_q.extend([qid] * kk)
                 o_v.extend(vids[sel].tolist())
-                o_c.extend(np.round(sims[sel, qi], 6).tolist())
+                o_c.extend(rounded[sel].tolist())
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(o_q, pa.int64()),
@@ -184,12 +189,15 @@ def ivf_topk(
                 m = probe_mask[qi, cid]
                 if not m.any():
                     continue
-                s = sims[m, qi]
-                kk = min(k, len(s))
-                top = np.argpartition(-s, kk - 1)[:kk]
+                # tie-safe selection: same total order as the global
+                # window (rounded cosine desc, vec_id asc)
+                rounded = np.round(sims[m, qi], 6)
+                mv = vids[m]
+                kk = min(k, len(rounded))
+                top = np.lexsort((mv, -rounded))[:kk]
                 o_q.extend([qid] * kk)
-                o_v.extend(vids[m][top].tolist())
-                o_c.extend(np.round(s[top], 6).tolist())
+                o_v.extend(mv[top].tolist())
+                o_c.extend(rounded[top].tolist())
             if not o_q:
                 continue
             yield pa.RecordBatch.from_arrays(

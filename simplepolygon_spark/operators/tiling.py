@@ -258,37 +258,15 @@ def build_interval_index(
 
 def _covers_distributed(rings_out: DataFrame, cover_level: int, max_level: int):
     """Run cover_ring on the executors; returns collected
-    (polygon_id, ring_index, lo, hi, full) tuples."""
-    import pandas as pd
+    (polygon_id, ring_index, lo, hi, full) tuples.  Delegates to the
+    single cover kernel (crosswalk.covers_df) so the broadcast-index
+    build and the relational fallbacks can never drift apart."""
+    from .crosswalk import covers_df
 
-    def run(batches):
-        for pdf in batches:
-            out = {"polygon_id": [], "ring_index": [], "lo": [], "hi": [], "full": []}
-            for pid, ridx, coords in zip(
-                pdf["polygon_id"], pdf["ring_index"], pdf["coords"]
-            ):
-                arr = np.asarray([list(c) for c in coords], dtype=np.float64)
-                cov = cover_ring(arr, max_level=cover_level, abs_max=max_level)
-                for lo, hi, fl in cov:
-                    out["polygon_id"].append(pid)
-                    out["ring_index"].append(int(ridx))
-                    out["lo"].append(int(lo))
-                    out["hi"].append(int(hi))
-                    out["full"].append(int(fl))
-            if not out["polygon_id"]:
-                continue
-            pdf_out = pd.DataFrame(out)
-            pdf_out["ring_index"] = pdf_out["ring_index"].astype("int32")
-            pdf_out["full"] = pdf_out["full"].astype("int32")
-            yield pdf_out
-
-    schema = "polygon_id string, ring_index int, lo long, hi long, full int"
-    df = rings_out.select("polygon_id", "ring_index", "coords")
-    # spread the (small) ring layer across the cores for the cover pass;
-    # a fixed repartition avoids the RDD conversion that reading the
-    # partition count would force, and the shuffle moves only ring rows
-    df = df.repartition(max(rings_out.sparkSession.sparkContext.defaultParallelism, 8))
-    return [tuple(r) for r in df.mapInPandas(run, schema).collect()]
+    df = rings_out.repartition(
+        max(rings_out.sparkSession.sparkContext.defaultParallelism, 8)
+    )
+    return [tuple(r) for r in covers_df(df, cover_level, max_level).collect()]
 
 
 def broadcast_index(spark: SparkSession, index: IntervalIndex):

@@ -91,15 +91,20 @@ def write_with_lineage(
     """
     data_path = os.path.join(out_dir, DATA_SUBDIR)
     lin_path = os.path.join(out_dir, LINEAGE_SUBDIR)
-    result.withColumn("run_id", F.lit(run_id)).write.mode("append").partitionBy(
-        "part_id"
-    ).parquet(data_path)
-    # metrics from the files just WRITTEN (run_id filter + partition
-    # pruning), not from a re-execution of the result plan — the
-    # checksum in the lineage log is authoritative for the bytes on
-    # disk even if an upstream were non-deterministic between runs
+    tagged = result.withColumn("run_id", F.lit(run_id))
+    # two-level partitioning: resume filters prune on part_id, and the
+    # metrics read-back below prunes to THIS run's directories only —
+    # lineage cost stays proportional to the delta, not the history
+    tagged.write.mode("append").partitionBy("part_id", "run_id").parquet(data_path)
+    # metrics from the files just WRITTEN, not from a re-execution of
+    # the result plan — the checksum in the lineage log is
+    # authoritative for the bytes on disk even if an upstream were
+    # non-deterministic between runs.  The explicit schema makes an
+    # all-zero-row run read back as an empty frame instead of crashing
+    # schema inference on a file-less directory.
     written = (
-        result.sparkSession.read.parquet(data_path)
+        result.sparkSession.read.schema(tagged.schema)
+        .parquet(data_path)
         .where(F.col("run_id") == run_id)
         .drop("run_id")
     )
@@ -119,6 +124,8 @@ def read_result(spark: SparkSession, out_dir: str) -> DataFrame:
     (part_id, run_id), so uncommitted (orphan) data files never
     surface.  The lineage side is tiny (one row per logical part) and
     broadcast by AQE."""
+    from pyspark.errors import AnalysisException
+
     data = spark.read.parquet(os.path.join(out_dir, DATA_SUBDIR))
     try:
         committed = (
@@ -126,7 +133,10 @@ def read_result(spark: SparkSession, out_dir: str) -> DataFrame:
             .select("part_id", "run_id")
             .distinct()
         )
-    except Exception:
+    except AnalysisException:
+        # no lineage log = nothing committed yet → empty result; any
+        # OTHER failure (corrupt files, transient storage errors) must
+        # propagate, not masquerade as "no data"
         return data.limit(0).drop("run_id")
     return data.join(
         F.broadcast(committed), ["part_id", "run_id"], "left_semi"

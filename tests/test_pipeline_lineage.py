@@ -70,7 +70,7 @@ def test_crash_between_data_and_lineage_write(spark, tmp_path):
     # lineage commit: orphan rows for 4 parts, no lineage rows at all
     asg = with_part_id(pip_join(imgs, bc), "image_id", 16)
     orphan = asg.filter(F.col("part_id") < 4).withColumn("run_id", F.lit("dead"))
-    orphan.write.mode("append").partitionBy("part_id").parquet(
+    orphan.write.mode("append").partitionBy("part_id", "run_id").parquet(
         f"{crash_dir}/{DATA_SUBDIR}"
     )
     assert done_part_ids(spark, crash_dir) == set()  # nothing committed
@@ -133,3 +133,24 @@ def test_skew_knob_creates_hot_rings(spark):
         & (F.col("lat") > -25.2) & (F.col("lat") < -24.8)
     ).count()
     assert hot > 200
+
+
+def test_zero_row_run_on_fresh_dir_commits_lineage(spark, tmp_path):
+    """A run whose every part produces 0 rows on a brand-new out_dir
+    must still commit its lineage (previously: schema inference crashed
+    on the file-less data directory and the parts re-ran forever)."""
+    bc = _setup(spark)
+    # points far outside every footprint → zero assignments
+    imgs = (
+        images_df(spark, 200, partitions=2, with_bytes=False)
+        .withColumn("lon", F.lit(179.99))
+        .withColumn("lat", F.lit(89.99))
+    )
+    out = str(tmp_path / "empty_run")
+    run_pipeline(spark, imgs, bc, out, run_id="z", num_parts=8)
+    assert len(done_part_ids(spark, out)) == 8  # all parts committed
+    lin = spark.read.parquet(out + "/_lineage").collect()
+    assert all(r.n_rows == 0 for r in lin)
+    # idempotent: nothing left to do
+    run_pipeline(spark, imgs, bc, out, run_id="z2", num_parts=8)
+    assert len(done_part_ids(spark, out)) == 8
