@@ -518,7 +518,9 @@ def q_pack_sequences(spark, sf_dir):
 def _q_pack_sequences_sql():
     return r"""
         WITH t AS (SELECT doc_id,
-                          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+                          CASE WHEN trim(text) = '' THEN 0
+                               ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+                          END AS n_tokens
                    FROM documents),
         p AS (SELECT doc_id, n_tokens,
                      COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
@@ -640,16 +642,16 @@ def q_minhash_pairs(spark, sf_dir):
 
     d = _read(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    return minhash_dup_pairs(d, threshold=0.5, rebalance=par).orderBy(
+    return minhash_dup_pairs(d, threshold=0.8, rebalance=par).orderBy(
         "doc_a", "doc_b"
     )
 
 
-def _q_minhash_sql():
+def _q_minhash_sql(threshold: float = 0.8):
     # relational set-similarity formulation (unnest + equi-join on the
     # shingle) — exact, and ~15x faster in DuckDB than pairwise
     # list_intersect over all doc pairs
-    return """
+    return f"""
         WITH sh AS (
           SELECT doc_id,
                  list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
@@ -666,7 +668,7 @@ def _q_minhash_sql():
         FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
     """
 
 
@@ -680,7 +682,7 @@ def q_dup_clusters(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     return dup_clusters(
-        minhash_dup_pairs(d, threshold=0.5, rebalance=par)
+        minhash_dup_pairs(d, threshold=0.8, rebalance=par)
     ).orderBy("doc_id")
 
 

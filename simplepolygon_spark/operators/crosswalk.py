@@ -171,7 +171,14 @@ def tile_cells_df(
     continent-sized (or corrupt) bbox at level 12 would otherwise
     explode to ~16.7M rows.  Oversized tiles FAIL LOUDLY (raise_error
     carrying the tile id) rather than being silently dropped — callers
-    with legitimately huge tiles pre-coarsen the level or pre-split."""
+    with legitimately huge tiles pre-coarsen the level or pre-split.
+
+    Inverted bboxes (lon_min > lon_max, e.g. a corrupt row or an
+    antimeridian-crossing tile this engine does not support) also fail
+    loudly: a negative axis extent would make nx*ny non-positive —
+    sailing past the product cap — while ``sequence(start, stop)``
+    happily generates the DESCENDING full-span range, re-creating the
+    very explosion the cap exists to prevent."""
     from pyspark.sql import functions as F
 
     from ..functions.cells_sql import _spread_sql
@@ -187,7 +194,10 @@ def tile_cells_df(
     nx = f"({axis('lon_max', 180.0, 360.0)} - {axis('lon_min', 180.0, 360.0)} + 1)"
     ny = f"({axis('lat_max', 90.0, 180.0)} - {axis('lat_min', 90.0, 180.0)} + 1)"
     guard = (
-        f"CASE WHEN {nx} * {ny} > {max_cells_per_tile} THEN "
+        f"CASE WHEN {nx} <= 0 OR {ny} <= 0 THEN "
+        f"raise_error(concat('tile ', {id_col}, ' has an inverted bbox "
+        f"(lon_min > lon_max or lat_min > lat_max)')) "
+        f"WHEN {nx} * {ny} > {max_cells_per_tile} THEN "
         f"raise_error(concat('tile ', {id_col}, ' expands to ', "
         f"CAST({nx} * {ny} AS STRING), ' cells at level {level} "
         f"(cap {max_cells_per_tile})')) ELSE {id_col} END"

@@ -141,6 +141,28 @@ def _band_buckets_from_sigs(sigs: DataFrame, bands: int, rows_per_band: int) -> 
     return sigs.select("doc_id", F.posexplode(band_arr).alias("band", "band_hash"))
 
 
+def bands_for_threshold(num_hashes: int, threshold: float) -> int:
+    """FEWEST bands whose S-curve knee ``(1/b)^(1/r)`` (r = num_hashes/b)
+    sits at or below ``threshold`` — the recall-safe choice: recall at
+    similarity j is ``1 - (1 - j^r)^b``, ~0.63 AT the knee and climbing
+    steeply above it, so knee ≤ threshold guarantees ≥63% candidate
+    recall at the threshold itself (e.g. 64 hashes at threshold 0.8 →
+    8x8 banding, knee 0.771: recall 0.989 at j=0.9, 0.9998 at j=0.95).
+    Fewest bands = fewest bucket collisions below the threshold, i.e.
+    the cheapest banding that is still recall-correct; a fixed banding
+    with a mismatched threshold silently drops pairs between the
+    threshold and the knee (8x8 at threshold 0.5 has ~3% recall at
+    j=0.5).  Falls back to num_hashes bands (knee minimal) for
+    thresholds below every knee."""
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        knee = (1.0 / b) ** (b / num_hashes)
+        if knee <= threshold:
+            return b
+    return num_hashes
+
+
 def minhash_band_buckets(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -157,11 +179,12 @@ def minhash_band_buckets(
 def minhash_dup_pairs(
     docs: DataFrame,
     num_hashes: int = 64,
-    bands: int = 8,
+    bands: int | None = None,
     k: int = 5,
-    threshold: float = 0.5,
+    threshold: float = 0.8,
     est_margin: float = 0.1,
     rebalance: int | None = None,
+    broadcast_cap: int = 1_000_000,
 ) -> DataFrame:
     """LSH candidates (bucket equi-join) → signature-estimate pre-filter
     (matching-minhash fraction ≥ threshold − est_margin) → exact
@@ -175,13 +198,18 @@ def minhash_dup_pairs(
     the exact distinct-5-gram Jaccard of the lowercased text, identical
     to the brute-force SQL oracle's definition.
 
-    Banding default is 8 bands x 8 rows: natural-language corpora have
-    a high background similarity floor (shared vocabulary puts random
-    doc pairs at j~0.3), and 4-row bands fire on that floor — at 5000
-    docs they emitted 183k candidates and the candidate joins dominated
-    the whole bench (26s); 8-row bands put the S-curve knee above the
-    floor (240x fewer candidates, 3.7s) while keeping per-pair recall
-    >0.998 at j>=0.9."""
+    ``bands=None`` derives the banding from the threshold via
+    ``bands_for_threshold`` so recall is centered on the asked-for
+    similarity — a fixed banding with a mismatched threshold silently
+    drops true pairs between the threshold and the S-curve knee (e.g.
+    8x8 banding at threshold 0.5 has ~3% recall at j=0.5).  The default
+    threshold is 0.8 (→ 8x8 for 64 hashes, knee 0.77): natural-language
+    corpora have a high background similarity floor (shared vocabulary
+    puts random doc pairs at char-5-gram j~0.3), and a LOWER threshold
+    necessarily bands closer to that floor — threshold 0.5 derives 16x4
+    banding, which on 5000 word-salad docs emitted 183k candidates and
+    dominated the whole bench.  Callers who truly need j≥0.5 recall pay
+    that candidate cost knowingly."""
     # rebalance (opt-in): a small single-file table arrives as one
     # split and serializes the Arrow signature kernel — pass a target
     # partition count to spread it.  Deliberately NOT the default: at
@@ -189,42 +217,59 @@ def minhash_dup_pairs(
     # unconditional repartition would shuffle the whole text corpus.
     if rebalance:
         docs = docs.repartition(rebalance)
+    if bands is None:
+        bands = bands_for_threshold(num_hashes, threshold)
     sigs = minhash_doc_sigs(docs, num_hashes, k).persist()
     bk = _band_buckets_from_sigs(sigs, bands, num_hashes // bands)
     a, b = bk.alias("a"), bk.alias("b")
-    cand = (
+    raw_cand = (
         a.join(b, on=["band", "band_hash"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        # cand feeds three branches (ids union + the pair join); persist
-        # so the bucket join runs once
+        # raw_cand feeds the sig joins twice (a/b side); persist so the
+        # bucket join runs once
         .persist()
     )
     side = sigs.select("doc_id", "sig")
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     ) / F.lit(float(num_hashes))
+    # materialize the surviving candidate pairs eagerly (localCheckpoint
+    # truncates lineage) so the intermediate sigs/raw_cand caches can be
+    # RELEASED here instead of leaking until the session ends — repeated
+    # calls no longer accumulate cached blocks.  The checkpointed set is
+    # ~1e-6 selectivity of the pair space; at warehouse scale a real
+    # checkpoint table replaces localCheckpoint (executor-loss safety).
     cand = (
-        cand.join(side.withColumnsRenamed({"doc_id": "doc_a", "sig": "sig_a"}), "doc_a")
+        raw_cand.join(side.withColumnsRenamed({"doc_id": "doc_a", "sig": "sig_a"}), "doc_a")
         .join(side.withColumnsRenamed({"doc_id": "doc_b", "sig": "sig_b"}), "doc_b")
         .where(est >= threshold - est_margin)
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
+    sigs.unpersist()
+    raw_cand.unpersist()
     # exact verify: pull text only for docs that appear in a candidate
     # pair (semi-join), shingle JVM-side, broadcast the tiny result back
+    # — but only HINT broadcast while the candidate set is provably
+    # small; past broadcast_cap ids, a high-duplication corpus would
+    # blow the driver through the O(text length) shingle sets, so fall
+    # back to a plain shuffled join and let AQE decide.
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sub = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
+    n_cand_ids = cand_ids.count()  # cheap: cand is checkpointed
+    bcast = F.broadcast if n_cand_ids <= broadcast_cap else (lambda df: df)
+    sub = docs.join(bcast(cand_ids), "doc_id", "left_semi").select(
         "doc_id", shingle_col("text", k).alias("sh")
     )
     j = cand.join(
-        F.broadcast(sub.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"})), "doc_a"
+        bcast(sub.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"})), "doc_a"
     ).join(
-        F.broadcast(sub.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"})), "doc_b"
+        bcast(sub.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"})), "doc_b"
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.greatest(
         F.size(F.array_union("sh_a", "sh_b")), F.lit(1)
@@ -439,23 +484,37 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     graph, cluster_id = smallest doc_id reachable — the canonical-
     document selection step of a dedup pipeline (keep min, drop rest).
 
-    Distributed min-label propagation: each round every node takes the
-    minimum of its own label and its neighbors' labels; converges in
-    O(graph diameter) rounds.  Dup clusters from LSH are near-cliques
-    (diameter 2-3), so this is 2-4 joins of the (small) pair set, each
-    a plain shuffled equi-join Catalyst can plan — no driver-side
-    union-find, no collect of the edge list.  ``max_iters`` bounds
-    pathological chain graphs; hitting it raises rather than returning
-    a half-converged labeling."""
+    Distributed min-label propagation WITH pointer jumping: each round
+    every node takes the minimum of its own label, its neighbors'
+    labels, and its label's label (label(label(v)) — the path-halving
+    step of pointer-doubling / large-star contraction, PAPERS.md
+    Kiveris et al.).  Neighbor propagation alone needs O(diameter)
+    rounds — a 26-hop duplicate chain would exhaust max_iters — while
+    the label-of-label shortcut compresses pointer chains geometrically,
+    giving O(log diameter) convergence (25 iters covers ~2^25-hop
+    chains).  Labels only decrease and are bounded by the component
+    minimum; at the fixpoint label(v) ≤ label(u) across every
+    (symmetric) edge, so labels are uniform per component.  Dup
+    clusters from LSH are near-cliques (diameter 2-3) → 2-4 rounds of
+    plain shuffled equi-joins Catalyst can plan — no driver-side
+    union-find, no collect of the edge list.  ``max_iters`` still
+    bounds the loop; hitting it raises rather than returning a
+    half-converged labeling."""
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
+    # each iteration references labels THREE times (neighbor join,
+    # pointer hop, changed-check); localCheckpoint truncates lineage so
+    # the logical plan stays O(1) per round instead of growing 3^k —
+    # without it Catalyst itself OOMs around round 9.  At warehouse
+    # scale, set a reliable checkpoint dir and use .checkpoint() for
+    # executor-loss safety.
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         nbr = (
@@ -468,15 +527,24 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .groupBy("a")
             .agg(F.min("nl").alias("nbr_min"))
         )
+        # pointer jumping: label(label(v)) — self-join of the label map
+        hop = labels.select(
+            F.col("node").alias("lbl_node"), F.col("label").alias("lbl2")
+        )
+        jumped = labels.join(
+            hop, labels.label == hop.lbl_node, "left"
+        ).select("node", "label", F.coalesce("lbl2", "label").alias("lbl2"))
         new_labels = (
-            labels.join(nbr, labels.node == nbr.a, "left")
+            jumped.join(nbr, jumped.node == nbr.a, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                    F.col("label"),
+                    F.col("lbl2"),
+                    F.coalesce(F.col("nbr_min"), F.col("label")),
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -485,16 +553,11 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             edges.unpersist()
-            # labels stays persisted: the returned frame reads from it
-            # (unpersisting here would force a full re-iteration on the
-            # consumer's first action)
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
             )
     edges.unpersist()
-    labels.unpersist()
     raise RuntimeError(f"dup_clusters did not converge in {max_iters} rounds")

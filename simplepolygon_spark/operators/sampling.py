@@ -30,11 +30,28 @@ from .text import fingerprint_col
 def stratified_sample(
     df: DataFrame, strata_col: str, n_per_stratum: int, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact, deterministic n-per-stratum sample (md5-order ranking)."""
+    """Exact, deterministic n-per-stratum sample (md5-order ranking).
+
+    Skew hardening: a first window keyed on (stratum, physical
+    partition id) keeps only the LOCAL top-n per stratum per input
+    split, so the global per-stratum window — the hot reducer when one
+    stratum holds most of the corpus — receives at most
+    n × num_input_partitions rows per stratum instead of the whole
+    stratum.  The local pass shuffles on the salted key (stratum, pid),
+    spreading a giant stratum across reducers; correctness is unchanged
+    because the global top-n is always contained in the union of local
+    top-ns (the md5 order is a total order independent of placement)."""
     order = F.md5(F.col(id_col).cast("string"))
+    local_w = Window.partitionBy(strata_col, "_pid").orderBy(order, id_col)
+    pruned = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(local_w))
+        .where(F.col("_lrn") <= n_per_stratum)
+        .drop("_pid", "_lrn")
+    )
     w = Window.partitionBy(strata_col).orderBy(order, id_col)
     return (
-        df.withColumn("rn", F.row_number().over(w))
+        pruned.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= n_per_stratum)
         .drop("rn")
     )
@@ -48,6 +65,15 @@ def approx_stratified(
     return df.sampleBy(strata_col, fractions, seed)
 
 
+def _n_tokens_col():
+    """Whitespace token count; an empty or whitespace-only text is 0
+    tokens (split of an empty trimmed string yields [''] — counting
+    that phantom token would inflate bin budgets)."""
+    return F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), "\\s+"))
+    )
+
+
 def pack_sequences(
     docs: DataFrame, window_tokens: int = 1024, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -57,15 +83,50 @@ def pack_sequences(
 
     bin_id = floor(exclusive-prefix-sum / window): a doc may straddle a
     boundary (real packers split or pad there; the assignment contract
-    is the deterministic part worth verifying).  Single global window —
-    the 100 TB form partitions first (e.g. by shard) and packs within
-    partitions, same expression over Window.partitionBy."""
-    n_tok = F.size(F.split(F.trim("text"), "\\s+"))
+    is the deterministic part worth verifying).  SINGLE GLOBAL WINDOW —
+    an all-rows one-partition sort, fine as the small-scale oracle
+    shape but a scale-killer on a big corpus: use
+    ``pack_sequences_sharded`` there."""
     w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
     prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return (
-        docs.select(id_col, n_tok.alias("n_tokens"))
+        docs.select(id_col, _n_tokens_col().alias("n_tokens"))
         .withColumn("bin_id", (prefix / window_tokens).cast("long"))
+        .withColumn("bin_offset", (prefix % window_tokens).cast("long"))
+    )
+
+
+def pack_sequences_sharded(
+    docs: DataFrame,
+    window_tokens: int = 1024,
+    shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, shard, bin_id, bin_offset): the 100 TB form of
+    ``pack_sequences`` — docs are first assigned a deterministic shard
+    (id mod shards; stable across runs and cluster sizes, and trivially
+    reproducible in ANSI SQL for the oracle), then packed GREEDILY
+    WITHIN each shard by the same exclusive-prefix-sum expression over
+    ``Window.partitionBy(shard)``.  Bin ids are globally unique via
+    (shard, local_bin) → shard * 2^32 + local_bin.
+
+    Plan shape: ONE hash exchange on the shard key and per-shard sorts
+    — no single-partition global sort anywhere (asserted by
+    tests/test_pack_sharded plan check).  Each shard's packing is
+    independent, so executors stream shards in parallel; the contract
+    intentionally differs from the global form only in bin membership
+    (each bin holds docs of one shard), never in per-doc token counts."""
+    shard = F.pmod(F.col(id_col), F.lit(shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    local_bin = (prefix / window_tokens).cast("long")
+    return (
+        docs.select(id_col, _n_tokens_col().alias("n_tokens"), shard.alias("shard"))
+        .withColumn("bin_id", F.col("shard").cast("long") * F.lit(1 << 32) + local_bin)
         .withColumn("bin_offset", (prefix % window_tokens).cast("long"))
     )
 

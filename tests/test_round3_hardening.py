@@ -1,0 +1,190 @@
+"""Round-3 hardening: inverted-bbox guard, empty-text token counts,
+sharded sequence packing (plan-asserted), skew-hardened stratified
+sampling, pointer-doubling cluster convergence, threshold-derived LSH
+banding."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# tile_cells_df inverted-bbox guard (ADVICE r2)
+# ---------------------------------------------------------------------------
+
+
+def test_tile_cells_inverted_bbox_raises(spark):
+    from simplepolygon_spark.operators.crosswalk import tile_cells_df
+
+    bad = spark.createDataFrame(
+        [("t0", 10.0, -10.0, 0.0, 1.0)],
+        "image_id string, lon_min double, lon_max double, lat_min double, lat_max double",
+    )
+    with pytest.raises(Exception, match="inverted bbox"):
+        tile_cells_df(bad, level=12).collect()
+
+
+def test_tile_cells_normal_bbox_still_works(spark):
+    from simplepolygon_spark.operators.crosswalk import tile_cells_df
+
+    ok = spark.createDataFrame(
+        [("t0", -0.01, 0.01, -0.01, 0.01)],
+        "image_id string, lon_min double, lon_max double, lat_min double, lat_max double",
+    )
+    rows = tile_cells_df(ok, level=12).collect()
+    assert len(rows) >= 1
+    assert all(r.image_id == "t0" for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences: empty text = 0 tokens; sharded form
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_empty_text_zero_tokens(spark):
+    from simplepolygon_spark.operators.sampling import (
+        pack_sequences,
+        pack_sequences_sharded,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "one two three"), (1, ""), (2, "   "), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(d, window_tokens=10).collect()}
+    assert rows[0].n_tokens == 3
+    assert rows[1].n_tokens == 0
+    assert rows[2].n_tokens == 0
+    assert rows[3].n_tokens == 1
+    # a zero-token doc consumes no budget: doc 3's offset is 3, not 5
+    assert rows[3].bin_offset == 3
+    srows = {
+        r.doc_id: r
+        for r in pack_sequences_sharded(d, window_tokens=10, shards=1).collect()
+    }
+    assert [srows[i].n_tokens for i in range(4)] == [3, 0, 0, 1]
+
+
+def test_pack_sequences_sharded_matches_per_shard_recompute(spark, docs):
+    from simplepolygon_spark.operators.sampling import pack_sequences_sharded
+
+    W, S = 500, 8
+    got = (
+        pack_sequences_sharded(docs.limit(300), window_tokens=W, shards=S)
+        .orderBy("doc_id")
+        .collect()
+    )
+    # recompute greedily per shard in plain python
+    by_shard: dict[int, int] = {}
+    for r in sorted(got, key=lambda r: r.doc_id):
+        sh = r.doc_id % S
+        assert r.shard == sh
+        prefix = by_shard.get(sh, 0)
+        assert r.bin_id == sh * (1 << 32) + prefix // W
+        assert r.bin_offset == prefix % W
+        by_shard[sh] = prefix + r.n_tokens
+
+
+def test_pack_sequences_sharded_has_no_global_sort(spark, docs):
+    """The scale form must not contain a single-partition global sort;
+    the oracle (global) form does — that asymmetry is the point."""
+    from simplepolygon_spark.operators.sampling import (
+        pack_sequences,
+        pack_sequences_sharded,
+    )
+
+    # no .limit() here — GlobalLimit itself injects a SinglePartition
+    # exchange and would mask what this test asserts about the window
+    sharded_plan = _plan(pack_sequences_sharded(docs, window_tokens=500, shards=8))
+    global_plan = _plan(pack_sequences(docs, window_tokens=500))
+    assert "SinglePartition" not in sharded_plan
+    assert "hashpartitioning" in sharded_plan
+    assert "SinglePartition" in global_plan
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample: skew hardening keeps exactness
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_zipf_stratum_exact(spark):
+    """One giant stratum (Zipf-ish) — the hardened two-phase form must
+    return exactly the deterministic md5-order top-n per stratum."""
+    from simplepolygon_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "hot" if i % 10 else "cold") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string").repartition(16)
+    n = 12
+    got = sorted(
+        (r.lang, r.doc_id)
+        for r in stratified_sample(df, "lang", n).collect()
+    )
+    # oracle: python md5 ranking, same key expression (md5 of the id string)
+    expect = []
+    for lang in ("hot", "cold"):
+        members = [i for i, l in rows if l == lang]
+        ranked = sorted(members, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        expect += [(lang, i) for i in ranked[:n]]
+    assert got == sorted(expect)
+    # and the plan shows the salted local pass (two window exchanges:
+    # one on (stratum, pid), one on stratum alone)
+    plan = _plan(stratified_sample(df, "lang", n))
+    assert plan.count("Window") >= 2
+
+
+# ---------------------------------------------------------------------------
+# dup_clusters: pointer doubling converges on long chains
+# ---------------------------------------------------------------------------
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 200-hop duplicate chain needs 200 rounds under plain one-hop
+    propagation (previously: RuntimeError at max_iters=25); pointer
+    doubling converges in O(log n)."""
+    from simplepolygon_spark.operators.dedup import dup_clusters
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = dup_clusters(pairs).collect()
+    assert len(got) == n + 1
+    assert all(r.cluster_id == 0 for r in got)
+
+
+def test_dup_clusters_two_components(spark):
+    from simplepolygon_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+# ---------------------------------------------------------------------------
+# threshold-derived banding
+# ---------------------------------------------------------------------------
+
+
+def test_bands_for_threshold_knees():
+    from simplepolygon_spark.operators.dedup import bands_for_threshold
+
+    assert bands_for_threshold(64, 0.8) == 8      # knee (1/8)^(1/8) ≈ 0.771
+    assert bands_for_threshold(64, 0.5) == 16     # knee (1/16)^(1/4) = 0.5
+    assert bands_for_threshold(64, 0.95) == 4     # knee (1/4)^(1/16) ≈ 0.917
