@@ -533,6 +533,36 @@ def _q_pack_sequences_sql():
     """
 
 
+def q_pack_sequences_sharded(spark, sf_dir):
+    """The 100 TB packing form: ONE hash exchange on a deterministic
+    shard key (doc_id mod 64), per-shard window cumsum — no
+    single-partition global sort anywhere in the plan (asserted by
+    tests/test_round3_hardening.py)."""
+    from simplepolygon_spark.operators.sampling import pack_sequences_sharded
+
+    d = _read(spark, sf_dir, "documents")
+    return pack_sequences_sharded(d, window_tokens=1000, shards=64).orderBy("doc_id")
+
+
+def _q_pack_sequences_sharded_sql():
+    return r"""
+        WITH t AS (SELECT doc_id,
+                          CAST(doc_id % 64 AS INTEGER) AS shard,
+                          CASE WHEN trim(text) = '' THEN 0
+                               ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+                          END AS n_tokens
+                   FROM documents),
+        p AS (SELECT doc_id, n_tokens, shard,
+                     COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+              FROM t)
+        SELECT doc_id, n_tokens, shard,
+               CAST(shard AS BIGINT) * 4294967296 + CAST(floor(prefix / 1000.0) AS BIGINT) AS bin_id,
+               CAST(prefix % 1000 AS BIGINT) AS bin_offset
+        FROM p
+    """
+
+
 def q_decontaminate(spark, sf_dir):
     """Train/benchmark overlap removal: docs whose normalized
     fingerprint matches the benchmark slice (doc_id % 10 = 0) drop out
@@ -598,6 +628,46 @@ def _q_embedding_dups_sql():
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.9
+    """
+
+
+def q_embedding_dups_lsh(spark, sf_dir):
+    """Random-hyperplane LSH near-dup (the scale path): the corpus is
+    augmented with exactly-rescaled copies of the first 50 vectors
+    (×2.0 — a power of two, so every float operation scales EXACTLY and
+    sign/cosine computations are bit-identical).  At threshold 0.95 the
+    only qualifying pairs are those planted exact duplicates (max
+    organic pairwise cosine in this corpus is ~0.51), and SRP recall at
+    cosine 1 is exactly 1 — so the LSH pipeline's output provably
+    equals the brute-force all-pairs oracle."""
+    from simplepolygon_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    e = _read(spark, sf_dir, "embeddings")
+    base = e.selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding")
+    planted = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    aug = base.unionByName(planted)
+    return (
+        embedding_dup_pairs_lsh(aug, threshold=0.95)
+        .select("vec_a", "vec_b")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _q_embedding_dups_lsh_sql():
+    return """
+        WITH aug AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+          FROM embeddings WHERE vec_id < 50
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.95
     """
 
 
@@ -1048,8 +1118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "pack_sequences_sharded": q_pack_sequences_sharded,
         "decontaminate": q_decontaminate,
         "embedding_dups": q_embedding_dups,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
         "cosine_topk": q_cosine_topk,
         "minhash_pairs": q_minhash_pairs,
         "dup_clusters": q_dup_clusters,
@@ -1080,8 +1152,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _q_ngram_jaccard_sql(),
         "stratified_sample": _q_stratified_sample_sql(),
         "pack_sequences": _q_pack_sequences_sql(),
+        "pack_sequences_sharded": _q_pack_sequences_sharded_sql(),
         "decontaminate": _q_decontaminate_sql(),
         "embedding_dups": _q_embedding_dups_sql(),
+        "embedding_dups_lsh": _q_embedding_dups_lsh_sql(),
         "cosine_topk": _q_cosine_topk_sql(),
         "decompose_rings": _q_decompose_rings_sql(),
         "minhash_pairs": _q_minhash_sql(),

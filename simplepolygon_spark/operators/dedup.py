@@ -474,6 +474,126 @@ def embedding_dup_pairs(
     ).where(F.col("cosine") >= threshold)
 
 
+def srp_signatures(
+    emb: DataFrame,
+    num_planes: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(id, sig): signed-random-projection LSH signature per vector —
+    bit i of ``sig`` is the sign of the dot product with hyperplane i,
+    hyperplanes drawn N(0,1) from a seeded generator (Charikar SimHash
+    for cosine).  P[bit match] for a pair at angle θ is 1 − θ/π.
+
+    One Arrow pass, one matmul per batch: the batch's vectors are
+    viewed as an (n × d) matrix and multiplied against the (d × planes)
+    hyperplane matrix.  Hyperplanes are regenerated per batch from the
+    seed (cheap: d × planes doubles) so every executor, batch, and run
+    agrees without shipping state."""
+    schema = f"{id_col} long, sig long"
+    shifts = np.arange(num_planes, dtype=np.uint64)
+
+    def run(batches):
+        planes: dict[int, np.ndarray] = {}
+        for batch in batches:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                continue
+            arr = batch.column(vec_col)
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            X = flat.reshape(len(ids), -1)
+            d = X.shape[1]
+            H = planes.get(d)
+            if H is None:
+                H = np.random.default_rng(seed).standard_normal((d, num_planes))
+                planes[d] = H
+            bits = ((X @ H) > 0.0).astype(np.uint64)
+            sig = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64), pa.int64()),
+                    pa.array(sig.view(np.int64), pa.int64()),
+                ],
+                names=[id_col, "sig"],
+            )
+
+    return emb.select(id_col, vec_col).mapInArrow(run, schema)
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 64,
+    bands: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cosine): pairs with cosine ≥ threshold via
+    random-hyperplane LSH — the scale path ``embedding_dup_pairs``
+    lacks.  The all-pairs form is quadratic within its blocking key;
+    this one buckets 64-bit SRP signatures (``srp_signatures``) into
+    ``bands`` bands of 64/bands bits, equi-joins on (band, key), and
+    exact-verifies the surviving candidates with the same JVM
+    zip_with/aggregate cosine as the brute-force form — signatures are
+    the only join payload, vectors are pulled once for candidates only.
+
+    Recall: exact duplicates (cosine 1, e.g. rescaled copies) collide
+    in every band — recall exactly 1.  Near-duplicates at cosine c
+    match each bit with p = 1 − arccos(c)/π, so 8 bands × 8 bits gives
+    1 − (1 − p⁸)⁸ ≈ 0.99 at c = 0.99, 0.59 at c = 0.95 — raise
+    ``bands`` (more, shorter bands) for recall on softer thresholds,
+    exactly the minhash ``bands_for_threshold`` trade-off."""
+    r = num_planes // bands
+    if bands * r != num_planes:
+        raise ValueError("bands must divide num_planes")
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    sigs = srp_signatures(vecs, num_planes, seed, id_col="vec_id", vec_col="v")
+    mask = (1 << r) - 1
+    band_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sig"), r * i).bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ]
+    )
+    bk = sigs.select("vec_id", F.posexplode(band_arr).alias("band", "key"))
+    a = bk.select(F.col("vec_id").alias("vec_a"), "band", "key")
+    b = bk.select(F.col("vec_id").alias("vec_b"), "band", "key")
+    # candidate ids are tiny (bucket collisions only); eager
+    # localCheckpoint materializes them once so the verify stage's two
+    # joins don't re-run the bucket join, without leaking a cached frame
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # exact verify: plain shuffled joins on the id — AQE broadcasts the
+    # candidate side at runtime when it is small, and degrades to a
+    # shuffle join (not a driver OOM) on a high-duplication corpus
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    side = vecs.select("vec_id", "v", norm.alias("nrm"))
+    j = cand.join(
+        side.withColumnsRenamed({"vec_id": "vec_a", "v": "v_a", "nrm": "nrm_a"}),
+        "vec_a",
+    ).join(
+        side.withColumnsRenamed({"vec_id": "vec_b", "v": "v_b", "nrm": "nrm_b"}),
+        "vec_b",
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    return j.select("vec_a", "vec_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering: connected components over the dup-pair graph
 # ---------------------------------------------------------------------------

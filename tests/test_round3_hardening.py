@@ -188,3 +188,78 @@ def test_bands_for_threshold_knees():
     assert bands_for_threshold(64, 0.8) == 8      # knee (1/8)^(1/8) ≈ 0.771
     assert bands_for_threshold(64, 0.5) == 16     # knee (1/16)^(1/4) = 0.5
     assert bands_for_threshold(64, 0.95) == 4     # knee (1/4)^(1/16) ≈ 0.917
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup via random-hyperplane LSH (VERDICT r2 top item)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding")
+        .cache()
+    )
+
+
+def test_embedding_lsh_matches_brute_force_on_planted_dups(spark, emb):
+    """Corpus + exactly-rescaled copies (x2.0 is exact in binary FP, so
+    SRP sign bits are bit-identical -> recall exactly 1): the LSH
+    pipeline must return the same pair set as brute-force all-pairs."""
+    from simplepolygon_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    planted = emb.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    got = sorted(
+        (r.vec_a, r.vec_b)
+        for r in embedding_dup_pairs_lsh(aug, threshold=0.95).collect()
+    )
+    brute = sorted(
+        (r.vec_a, r.vec_b)
+        for r in embedding_dup_pairs(aug, threshold=0.95, block_col=None).collect()
+    )
+    assert got == brute == [(i, i + 1000000) for i in range(30)]
+
+
+def test_embedding_lsh_candidates_far_below_all_pairs(spark, emb):
+    """The bucket join must generate FAR fewer candidates than n^2/2 —
+    the whole point of replacing within-block all-pairs."""
+    from simplepolygon_spark.operators.dedup import srp_signatures
+
+    n = emb.count()
+    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
+    sigs = srp_signatures(vecs, 64, 7, id_col="vec_id", vec_col="v")
+    bk = sigs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), 8 * i).bitwiseAND(F.lit(255))
+                    for i in range(8)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = bk.select(F.col("vec_id").alias("a"), "band", "key")
+    b = bk.select(F.col("vec_id").alias("b"), "band", "key")
+    n_cand = (
+        a.join(b, ["band", "key"]).where(F.col("a") < F.col("b")).distinct().count()
+    )
+    assert n_cand < (n * (n - 1) // 2) * 0.05, (n_cand, n)
+
+
+def test_srp_signatures_deterministic_across_partitionings(spark, emb):
+    from simplepolygon_spark.operators.dedup import srp_signatures
+
+    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
+    s1 = {r.vec_id: r.sig for r in srp_signatures(vecs.coalesce(1)).collect()}
+    s8 = {r.vec_id: r.sig for r in srp_signatures(vecs.repartition(8)).collect()}
+    assert s1 == s8
