@@ -153,6 +153,7 @@ def ivf_topk(
     centroids: np.ndarray,
     k: int = 5,
     probes: int = 4,
+    centroid_col: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k in ONE corpus pass: every query's probe
     list (its ``probes`` nearest centroids) is broadcast with the query
@@ -161,8 +162,18 @@ def ivf_topk(
     centroids, computes cosines vectorized, and emits per-batch top-k;
     a single tiny window reduce yields the global top-k.  No join, no
     per-query plan branch (round-1 advice: the old form built Q filtered
-    scans + a corpus↔assign shuffle).  At scale the corpus is stored
-    bucketed by centroid_id so the mask becomes partition pruning."""
+    scans + a corpus↔assign shuffle).
+
+    ``centroid_col``: name of a pre-assigned centroid id column (the
+    at-rest layout ``ivf_assign`` + ``partitionBy(centroid_id)``
+    produces).  When given, (a) the corpus is FILTERED to the union of
+    all probe lists — on a centroid-partitioned table that filter is a
+    PartitionFilter, so non-probed partitions are never opened
+    (tests/test_partition_pruning.py proves this behaviorally) — and
+    (b) the kernel reads the assignment from the column instead of
+    recomputing the per-batch B×C distance matrix.  The assignment must
+    come from the SAME centroids (``ivf_assign``'s argmin, ties to the
+    lowest id) or probe masks won't line up."""
     C = np.asarray(centroids, np.float64)
     qids = sorted(queries_np)
     Q = np.stack([np.asarray(queries_np[q], np.float64) for q in qids])
@@ -173,6 +184,7 @@ def ivf_topk(
         probe_mask[qi, np.argsort(dq[qi], kind="stable")[:probes]] = True
 
     schema = "query_id long, vec_id long, cosine double"
+    probed_union = sorted(int(c) for c in np.nonzero(probe_mask.any(axis=0))[0])
 
     def run(batches):
         for batch in batches:
@@ -180,8 +192,12 @@ def ivf_topk(
             if len(vids) == 0:
                 continue
             emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-            d = ((emb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            cid = d.argmin(axis=1)  # first min == lowest centroid id
+            if centroid_col is not None:
+                cid = batch.column(centroid_col).to_numpy(zero_copy_only=False)
+                cid = cid.astype(np.int64)
+            else:
+                d = ((emb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                cid = d.argmin(axis=1)  # first min == lowest centroid id
             En = emb / np.linalg.norm(emb, axis=1, keepdims=True)
             sims = En @ Qn.T  # B × Q
             o_q, o_v, o_c = [], [], []
@@ -209,7 +225,13 @@ def ivf_topk(
                 names=["query_id", "vec_id", "cosine"],
             )
 
-    partial = corpus.select("vec_id", "embedding").mapInArrow(run, schema)
+    if centroid_col is not None:
+        src = corpus.where(F.col(centroid_col).isin(probed_union)).select(
+            "vec_id", "embedding", centroid_col
+        )
+    else:
+        src = corpus.select("vec_id", "embedding")
+    partial = src.mapInArrow(run, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return (
         partial.withColumn("rank", F.row_number().over(w))

@@ -125,3 +125,63 @@ def test_ivf_probe_pruning_on_centroid_partitioned_corpus(spark, tmp_path):
     except Exception:
         failed = True
     assert failed
+
+
+def test_ivf_topk_uses_at_rest_assignment_and_prunes(spark, tmp_path):
+    """VERDICT r2 item 5 end-to-end: ivf_topk(centroid_col=...) must
+    (a) produce exactly the recompute-path result, (b) never open
+    non-probed centroid partitions (corrupted-file proof), and (c) take
+    the assignment from the column, not a per-batch distance matrix —
+    proven by poisoning the stored assignment of one row: the column
+    path must reflect the poisoned value where recompute would not."""
+    import os
+
+    import numpy as np
+
+    from simplepolygon_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pdf = emb.limit(8).toPandas()
+    C = np.stack([np.asarray(e, np.float64) for e in pdf.embedding])
+    assign = ivf_assign(emb, C)
+    out = str(tmp_path / "emb_ivf")
+    emb.join(assign, "vec_id").write.partitionBy("centroid_id").parquet(out)
+    at_rest = spark.read.parquet(out)
+
+    qn = {int(r.vec_id): np.asarray(r.embedding, np.float64) for r in pdf.itertuples()}
+    queries = {k: qn[k] for k in list(qn)[:3]}
+
+    base = ivf_topk(emb, queries, C, k=5, probes=3)
+    fast = ivf_topk(at_rest, queries, C, k=5, probes=3, centroid_col="centroid_id")
+    key = lambda r: (r.query_id, r.rank)
+    brows = sorted(((r.query_id, r.rank, r.vec_id, r.cosine) for r in base.collect()))
+    frows = sorted(((r.query_id, r.rank, r.vec_id, r.cosine) for r in fast.collect()))
+    assert frows == brows and len(frows) == 15
+
+    # which centroids does this query set probe?
+    dq = ((np.stack([queries[q] for q in sorted(queries)])[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probed = set()
+    for row in dq:
+        probed.update(np.argsort(row, kind="stable")[:3].tolist())
+    non_probed = [c for c in range(len(C)) if c not in probed]
+    assert non_probed, "test needs at least one non-probed centroid"
+
+    # corrupt every file of one non-probed partition: the column path
+    # must still run (pruning = those files never opened)
+    vdir = os.path.join(out, f"centroid_id={non_probed[0]}")
+    for f in os.listdir(vdir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(vdir, f), "wb") as fh:
+                fh.write(b"garbage")
+    at_rest2 = spark.read.parquet(out)
+    fast2 = ivf_topk(at_rest2, queries, C, k=5, probes=3, centroid_col="centroid_id")
+    assert sorted(((r.query_id, r.rank, r.vec_id, r.cosine) for r in fast2.collect())) == brows
+
+    # (c) the column is authoritative — no per-batch reassignment:
+    # overriding every stored assignment to a single non-probed centroid
+    # must yield ZERO rows (recompute would still find the true ones)
+    poisoned = at_rest.withColumn(
+        "centroid_id", F.lit(non_probed[0]).cast("int")
+    )
+    empty = ivf_topk(poisoned, queries, C, k=5, probes=3, centroid_col="centroid_id")
+    assert empty.count() == 0

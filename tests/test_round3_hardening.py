@@ -263,3 +263,26 @@ def test_srp_signatures_deterministic_across_partitionings(spark, emb):
     s1 = {r.vec_id: r.sig for r in srp_signatures(vecs.coalesce(1)).collect()}
     s8 = {r.vec_id: r.sig for r in srp_signatures(vecs.repartition(8)).collect()}
     assert s1 == s8
+
+
+def test_batch_minhash_equals_per_doc_reference():
+    """Whole-batch reduceat kernel == per-doc _shingle_hashes signatures
+    (including sub-k and empty texts, which pad to k spaces)."""
+    import numpy as np
+
+    from simplepolygon_spark.operators.dedup import (
+        _MERSENNE,
+        _batch_minhash,
+        _shingle_hashes,
+    )
+
+    rng = np.random.default_rng(7)
+    A = rng.integers(1, _MERSENNE, 16, dtype=np.uint64)
+    B = rng.integers(0, _MERSENNE, 16, dtype=np.uint64)
+    texts = ["hello world", "", "ab", "ümlauts ünd more", "x" * 300, "hello world"]
+    got = _batch_minhash(texts, A, B, 5)
+    for j, t in enumerate(texts):
+        sh = _shingle_hashes(t, 5)
+        with np.errstate(over="ignore"):
+            ref = ((A[:, None] * sh[None, :] + B[:, None]) % np.uint64(_MERSENNE)).min(axis=1)
+        assert (got[:, j] == ref).all(), t
