@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_SUBDIR = "_lineage"
@@ -73,7 +73,11 @@ def lineage_metrics(result: DataFrame, run_id: str) -> DataFrame:
 
 
 def write_with_lineage(
-    result: DataFrame, out_dir: str, run_id: str, all_part_ids: DataFrame
+    result: DataFrame,
+    out_dir: str,
+    run_id: str,
+    all_part_ids: DataFrame,
+    audit_readback: bool = False,
 ) -> None:
     """Write result data partitioned by part_id + append lineage rows.
 
@@ -88,35 +92,87 @@ def write_with_lineage(
     files that are invisible to readers, and the part is re-run on
     resume without producing duplicates — preserving the exact
     "union of resumed runs == clean run" invariant.
+
+    Metrics come FREE with the write (default): an Observation node with
+    3 conditional aggregates per part (count / byte sum / xor checksum,
+    null outside the part) rides the write job — accumulator-backed, no
+    second pass, no re-execution of the plan.  Per-task overhead is 3·P
+    longs of accumulator traffic (P = parts this run), negligible even
+    at thousands of parts.  ``audit_readback=True`` additionally
+    re-reads the files just written (partition-pruned to this run) and
+    verifies the on-disk metrics equal the observed ones — the opt-in
+    audit for storage-layer corruption, at the cost of a second read of
+    this run's output.
     """
     data_path = os.path.join(out_dir, DATA_SUBDIR)
     lin_path = os.path.join(out_dir, LINEAGE_SUBDIR)
-    tagged = result.withColumn("run_id", F.lit(run_id))
-    # two-level partitioning: resume filters prune on part_id, and the
-    # metrics read-back below prunes to THIS run's directories only —
-    # lineage cost stays proportional to the delta, not the history
+    spark = result.sparkSession
+    part_ids = sorted(
+        r.part_id for r in all_part_ids.select(F.col("part_id").cast("int")).distinct().collect()
+    )
+    if not part_ids:
+        return  # nothing processed this run — no data, no lineage rows
+
+    cols = [c for c in result.columns if c != "part_id"]
+    row_hash = F.xxhash64(*[F.col(c) for c in cols])
+    byte_len = sum(
+        (F.length(F.col(c).cast("string")).cast("long") for c in cols),
+        F.lit(0).cast("long"),
+    )
+    obs = Observation(f"lineage-{run_id}")
+    obs_cols = []
+    for k in part_ids:
+        is_k = F.col("part_id") == k
+        obs_cols += [
+            F.sum(F.when(is_k, 1).otherwise(0)).alias(f"r{k}"),
+            F.sum(F.when(is_k, byte_len).otherwise(0)).alias(f"b{k}"),
+            F.bit_xor(F.when(is_k, row_hash)).alias(f"c{k}"),
+        ]
+    tagged = result.observe(obs, *obs_cols).withColumn("run_id", F.lit(run_id))
+    # two-level partitioning: resume filters prune on part_id, and any
+    # audit read-back prunes to THIS run's directories only — lineage
+    # cost stays proportional to the delta, not the history
     tagged.write.mode("append").partitionBy("part_id", "run_id").parquet(data_path)
-    # metrics from the files just WRITTEN, not from a re-execution of
-    # the result plan — the checksum in the lineage log is
-    # authoritative for the bytes on disk even if an upstream were
-    # non-deterministic between runs.  The explicit schema makes an
-    # all-zero-row run read back as an empty frame instead of crashing
-    # schema inference on a file-less directory.
-    written = (
-        result.sparkSession.read.schema(tagged.schema)
-        .parquet(data_path)
-        .where(F.col("run_id") == run_id)
-        .drop("run_id")
+
+    got = obs.get  # blocks until the write job above completed
+    rows = [
+        (k, run_id, int(got[f"r{k}"] or 0), int(got[f"b{k}"] or 0), int(got[f"c{k}"] or 0))
+        for k in part_ids
+    ]
+    metrics = spark.createDataFrame(
+        rows, "part_id int, run_id string, n_rows long, n_bytes long, checksum long"
     )
-    metrics = lineage_metrics(written, run_id)
-    full = (
-        all_part_ids.select(F.col("part_id").cast("int"))
-        .distinct()
-        .join(metrics, "part_id", "left")
-        .fillna({"n_rows": 0, "n_bytes": 0, "checksum": 0})
-        .withColumn("run_id", F.coalesce(F.col("run_id"), F.lit(run_id)))
-    )
-    full.write.mode("append").parquet(lin_path)
+
+    if audit_readback:
+        # files-on-disk are authoritative under this flag: recompute the
+        # same metrics from the parquet just written and fail loudly on
+        # any divergence (a torn write, a non-deterministic upstream)
+        written = (
+            spark.read.schema(tagged.schema)
+            .parquet(data_path)
+            .where(F.col("run_id") == run_id)
+            .drop("run_id")
+        )
+        disk = lineage_metrics(written, run_id)
+        diff = (
+            metrics.alias("m")
+            .join(disk.alias("d"), "part_id", "left")
+            .where(
+                (F.coalesce(F.col("d.n_rows"), F.lit(0)) != F.col("m.n_rows"))
+                | (F.coalesce(F.col("d.n_bytes"), F.lit(0)) != F.col("m.n_bytes"))
+                | (F.coalesce(F.col("d.checksum"), F.lit(0)) != F.col("m.checksum"))
+            )
+            .count()
+        )
+        if diff:
+            raise RuntimeError(
+                f"lineage audit: {diff} part(s) diverge between observed "
+                f"write metrics and the files on disk under {data_path}"
+            )
+
+    metrics.select("part_id", "run_id", "n_rows", "n_bytes", "checksum").write.mode(
+        "append"
+    ).parquet(lin_path)
 
 
 def read_result(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -154,3 +154,30 @@ def test_zero_row_run_on_fresh_dir_commits_lineage(spark, tmp_path):
     # idempotent: nothing left to do
     run_pipeline(spark, imgs, bc, out, run_id="z2", num_parts=8)
     assert len(done_part_ids(spark, out)) == 8
+
+
+def test_lineage_observe_metrics_agree_with_disk_audit(spark, tmp_path):
+    """Round-3: metrics now ride the write job via Observation (no
+    read-back pass by default).  audit_readback=True recomputes them
+    from the files just written and raises on ANY divergence — so a
+    clean pass here proves observed == on-disk for rows, bytes, and
+    checksums; and the default path's lineage log must be identical."""
+    from simplepolygon_spark.operators.tiling import pip_join
+    from simplepolygon_spark.plans.lineage import with_part_id, write_with_lineage
+
+    bc = _setup(spark)
+    imgs = with_part_id(
+        images_df(spark, 1500, partitions=4, with_bytes=False), "image_id", 8
+    )
+    asg = with_part_id(pip_join(imgs, bc), "image_id", 8)
+
+    out_a = str(tmp_path / "audited")
+    write_with_lineage(asg, out_a, "r0", imgs.select("part_id"), audit_readback=True)
+    out_b = str(tmp_path / "plain")
+    write_with_lineage(asg, out_b, "r0", imgs.select("part_id"))
+
+    key = ["part_id", "n_rows", "n_bytes", "checksum"]
+    la = sorted(tuple(r[k] for k in key) for r in spark.read.parquet(out_a + "/_lineage").collect())
+    lb = sorted(tuple(r[k] for k in key) for r in spark.read.parquet(out_b + "/_lineage").collect())
+    assert la == lb and len(la) == 8
+    assert sum(r[1] for r in la) == asg.count()
