@@ -81,8 +81,8 @@ def dedupe_near_feed(doc_feed: DataFrame, watermark: str = "10 minutes") -> Data
     Signature equality catches token-identical and near-identical
     re-posts (the dominant streaming dup mode); banded hamming>0
     matching needs multi-key LSH membership, which is not expressible
-    as one dropDuplicates key — that remains the batch job
-    (operators.dedup.simhash_dup_pairs) run over the landed table."""
+    as one dropDuplicates key — for that use
+    ``start_banded_near_dedup`` below."""
     import numpy as np
     import pyarrow as pa
 
@@ -108,4 +108,184 @@ def dedupe_near_feed(doc_feed: DataFrame, watermark: str = "10 minutes") -> Data
     sigs = doc_feed.select("doc_id", "text", "ts").mapInArrow(run, schema)
     return sigs.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["simhash"]
+    )
+
+def _with_simhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ts, simhash, band0..band3) — the stream-side twin
+    of operators.dedup.simhash_64 (same kernel, plus passthrough cols)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..operators.dedup import simhash_of_texts
+
+    schema = (
+        "doc_id long, text string, ts timestamp, simhash long, "
+        "band0 int, band1 int, band2 int, band3 int"
+    )
+
+    def run(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            sig = simhash_of_texts(batch.column("text").to_pylist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("text"),
+                    batch.column("ts"),
+                    pa.array(sig.view(np.int64), pa.int64()),
+                    *[
+                        pa.array(
+                            ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(
+                                np.int32
+                            ),
+                            pa.int32(),
+                        )
+                        for b in range(4)
+                    ],
+                ],
+                names=[
+                    "doc_id", "text", "ts", "simhash",
+                    "band0", "band1", "band2", "band3",
+                ],
+            )
+
+    return docs.select("doc_id", "text", "ts").mapInArrow(run, schema)
+
+
+def _melt_bands(sigs: DataFrame) -> DataFrame:
+    return sigs.select(
+        "doc_id",
+        "ts",
+        "simhash",
+        F.posexplode(F.array("band0", "band1", "band2", "band3")).alias("band", "bk"),
+    )
+
+
+def banded_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    state_dir: str,
+    max_hamming: int = 3,
+) -> None:
+    """One micro-batch of banded near-dedup (the ``foreachBatch`` body,
+    split out so tests can drive it as plain batch code).
+
+    Greedy first-wins over stream order (ts, then doc_id): a doc is
+    SUPPRESSED iff any strictly-earlier doc — in the signature store or
+    earlier in this batch — shares a SimHash band and sits within
+    ``max_hamming``.  Pigeonhole over 4×16-bit bands makes band-share a
+    lossless filter for hamming ≤ 3, so this is exact, and comparisons
+    run against ALL prior docs (suppressed ones included — the store
+    keeps every signature), which makes the emitted set a pure function
+    of the landed table: doc b survives iff batch
+    ``simhash_dup_pairs`` yields no partner earlier than b.
+
+    Plan shape per batch: two (band, key) equi-joins — batch×store and
+    batch×batch — signatures only (16 bytes + 4 band ints per doc;
+    text never joins), then one anti-join to drop suppressed ids.
+    Both sinks partition by batch_id and overwrite their own partition
+    (dynamic mode), so a replayed micro-batch after a failure is
+    idempotent — the foreachBatch exactly-once recipe."""
+    spark = batch.sparkSession
+    sigs = batch.persist()
+    try:
+        from pyspark.errors import AnalysisException
+
+        m = _melt_bands(sigs)
+        try:
+            # exclude THIS batch id from the store: on a replayed batch
+            # the previous attempt's own signatures are already there and
+            # would suppress every doc against itself; the filter is a
+            # partition prune AND keeps the replay from lazily reading
+            # the very files its own overwrite is about to replace
+            state = spark.read.parquet(state_dir).where(
+                F.col("_batch_id") != int(batch_id)
+            )
+        except AnalysisException:
+            state = None  # first batch: no store yet; other errors propagate
+        ham = lambda a, b: F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+        sup_cross = None
+        if state is not None:
+            st = state.select(
+                F.col("simhash").alias("sh_prev"),
+                F.posexplode(F.array("band0", "band1", "band2", "band3")).alias(
+                    "band", "bk"
+                ),
+            )
+            sup_cross = (
+                m.join(st, ["band", "bk"])
+                .where(ham("simhash", "sh_prev") <= max_hamming)
+                .select("doc_id")
+            )
+        a = m.select(
+            F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"),
+            F.col("simhash").alias("sh_a"), "band", "bk",
+        )
+        b = m.select(
+            F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"),
+            F.col("simhash").alias("sh_b"), "band", "bk",
+        )
+        earlier = (F.col("ts_a") < F.col("ts_b")) | (
+            (F.col("ts_a") == F.col("ts_b")) & (F.col("id_a") < F.col("id_b"))
+        )
+        sup_in = (
+            a.join(b, ["band", "bk"])
+            .where(earlier & (ham("sh_a", "sh_b") <= max_hamming))
+            .select(F.col("id_b").alias("doc_id"))
+        )
+        suppressed = sup_in if sup_cross is None else sup_in.union(sup_cross)
+        survivors = sigs.join(suppressed.distinct(), "doc_id", "left_anti")
+
+        # state grows by EVERY doc's signature (suppressed included);
+        # sinks are idempotent under micro-batch replay
+        for df, path, cols in (
+            (sigs, state_dir, ["doc_id", "ts", "simhash", "band0", "band1", "band2", "band3"]),
+            (survivors, out_dir, ["doc_id", "text", "ts", "simhash"]),
+        ):
+            (
+                df.select(*cols)
+                .withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.partitionBy("_batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(path)
+            )
+    finally:
+        sigs.unpersist()
+
+
+def start_banded_near_dedup(
+    doc_feed: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    **trigger,
+):
+    """Streaming banded near-dedup: suppress any doc within
+    ``max_hamming`` SimHash bits of ANY earlier doc — the in-stream
+    equivalent of batch ``simhash_dup_pairs`` (VERDICT r2 item 4).
+
+    Multi-key LSH membership (4 band keys per doc) is not one
+    dropDuplicates key, and a second stateful operator downstream of
+    applyInPandasWithState is unsupported — so the idiomatic shape is
+    ``foreachBatch`` over a parquet signature store: per micro-batch,
+    two signature-only (band, key) equi-joins decide suppression, both
+    sinks overwrite their own batch_id partition (replay-idempotent),
+    and the store IS the durable state (survives restarts with the
+    checkpoint; at warehouse scale a bucketed table + periodic
+    compaction).  Returns the started StreamingQuery."""
+    sigs = _with_simhash_bands(doc_feed)
+    return (
+        sigs.writeStream.foreachBatch(
+            lambda df, bid: banded_dedup_batch(
+                df, bid, out_dir, state_dir, max_hamming
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
     )

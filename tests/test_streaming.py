@@ -127,3 +127,88 @@ def test_dedupe_near_feed_suppresses_reposts(spark, tmp_path):
     # and the signatures match the batch kernel exactly
     expect = {int(s) for s in simhash_of_texts(base + ["a completely different document body"]).view("int64")}
     assert {r.simhash for r in got} == expect
+
+
+def test_banded_near_dedup_stream_equals_batch_pairs(spark, tmp_path):
+    """VERDICT r2 item 4: the streaming banded near-dedup's survivor set
+    must be exactly what batch simhash_dup_pairs implies on the landed
+    table — doc b survives iff no pair gives it an earlier partner."""
+    import pandas as pd
+
+    from simplepolygon_spark.operators.dedup import simhash_dup_pairs
+    from simplepolygon_spark.streaming.feed import start_banded_near_dedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .orderBy("doc_id")
+        .limit(60)
+        .collect()
+    )
+    ts0 = pd.Timestamp("2026-01-01 00:00:00")
+    rows, did = [], 0
+
+    def add(text):
+        nonlocal did
+        rows.append((did, text, ts0 + pd.Timedelta(seconds=did)))
+        did += 1
+
+    for r in docs:
+        add(r.text)
+    # exact re-posts (hamming 0) and light near-variants (small hamming)
+    for r in docs[:10]:
+        add(r.text)
+        add(r.text.replace(" the ", " thee ", 1))
+        add(r.text + " extra")
+    feed_dir = str(tmp_path / "bfeed")
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    # three file drops -> three micro-batches (maxFilesPerTrigger=1)
+    for i, sl in enumerate((slice(0, 40), slice(40, 70), slice(70, None))):
+        spark.createDataFrame(pdf[sl]).coalesce(1).write.mode("append").parquet(feed_dir)
+
+    st = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    out_dir = str(tmp_path / "bout")
+    q = start_banded_near_dedup(
+        st, out_dir, str(tmp_path / "bstate"), str(tmp_path / "bckpt"), max_hamming=3
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect()}
+
+    landed = spark.createDataFrame(pdf)
+    pairs = simhash_dup_pairs(landed, max_hamming=3).collect()
+    suppressed = {p.doc_b for p in pairs}  # ts order == doc_id order here
+    expect = set(pdf.doc_id) - suppressed
+    assert got == expect
+    # the scenario must actually exercise hamming>0 suppression in-stream
+    assert any(0 < p.hamming <= 3 for p in pairs), "no near (non-equal) pair planted"
+    assert len(suppressed) >= 10
+
+
+def test_banded_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replays a failed micro-batch: re-running the same
+    (batch, batch_id) must leave output and state unchanged."""
+    import pandas as pd
+
+    from simplepolygon_spark.streaming.feed import (
+        _with_simhash_bands,
+        banded_dedup_batch,
+    )
+
+    ts0 = pd.Timestamp("2026-01-01")
+    pdf = pd.DataFrame(
+        [(i, f"document body number {i}", ts0 + pd.Timedelta(seconds=i)) for i in range(20)]
+        + [(100, "document body number 0", ts0 + pd.Timedelta(seconds=100))],
+        columns=["doc_id", "text", "ts"],
+    )
+    sigs = _with_simhash_bands(spark.createDataFrame(pdf))
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    banded_dedup_batch(sigs, 0, out, state, max_hamming=3)
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    banded_dedup_batch(sigs, 0, out, state, max_hamming=3)  # replay
+    again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert first == again
+    n_state = spark.read.parquet(state).count()
+    assert n_state == 21
