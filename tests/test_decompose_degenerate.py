@@ -85,3 +85,44 @@ def test_crossing_landing_on_unrelated_vertex_rejected():
     other = [[1, 1], [5, 1], [5, 2], [1, 1]]
     with pytest.raises(DecomposeError, match="[Cc]oincident"):
         decompose([bow, other])
+
+
+def test_sub3_vertex_ring_rejected_frozen_contract():
+    """FROZEN DEVIATION (round-3 decision): the reference performs no
+    ring-arity validation — a 2-point ring [A,B] closes to [A,B,A]
+    (src/index.ts:54-58), its two collinear overlapping edges yield no
+    transversal crossing in gpsi, and the fast path emits a degenerate
+    zero-area "ring" as output; a 1-point ring reaches turf with no
+    edges at all.  Both are invalid GeoJSON (RFC 7946 §3.1.6 requires
+    4+ positions) and poisoned inputs at scale — the engine rejects
+    them with a dedicated message instead of reproducing undefined,
+    library-version-dependent output.  The reference cannot be executed
+    in this environment (no node_modules/dist, installs unavailable),
+    so the contract is frozen from source analysis, per class, here."""
+    for rings in (
+        [[[0, 0], [2, 0]]],               # 2-point ring
+        [[[0, 0]]],                       # 1-point ring
+        [[[0, 0], [1, 0], [0, 1], [0, 0]], [[5, 5], [6, 5]]],  # mixed
+    ):
+        with pytest.raises(DecomposeError, match="at least 3 vertices"):
+            decompose(rings)
+
+
+def test_degenerate_rejects_surface_through_spark_skip_mode(spark):
+    """on_error='skip' must drop BOTH frozen-deviation classes without
+    failing the job — the scale contract for dirty data (a rejected
+    polygon costs one row, not a stage retry storm)."""
+    from simplepolygon_spark.operators.decompose import (
+        POLYGONS_SCHEMA,
+        decompose_polygons,
+    )
+    rows = [
+        ("ok", [[[0.0, 0.0], [2.0, 0.0], [0.0, 2.0], [2.0, 2.0], [0.0, 0.0]]]),
+        ("short", [[[0.0, 0.0], [2.0, 0.0]]]),
+        ("coincident", [[[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0],
+                         [1.0, 3.0], [1.0, -1.0], [0.0, -1.0], [0.0, 0.0]]]),
+    ]
+    df = spark.createDataFrame(rows, POLYGONS_SCHEMA)
+    got = decompose_polygons(df, on_error="skip").collect()
+    assert {r.polygon_id for r in got} == {"ok"}
+    assert len(got) == 2  # the 8-shape's two simple rings
