@@ -51,19 +51,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    spreads: dict[str, float] = {}
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     def timed(name, fn):
         # this virtualized host shows time-varying interference
         # (hypervisor steal inflates runs up to 3x minutes apart);
-        # min-of-N is the least-contended estimate (timeit rationale)
-        best, out = None, None
+        # min-of-N is the least-contended estimate (timeit rationale).
+        # The per-query spread (max/min - 1 across repeats) is reported
+        # alongside so round-over-round drifts are attributable: a query
+        # whose own spread is 0.4 moving 25% between rounds is host
+        # noise, not a plan change (VERDICT r2 item 9).
+        samples, out = [], None
         for _ in range(repeats):
             t0 = time.perf_counter()
             out = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) / min(samples) - 1.0, 3)
         return out
 
     # --- flagship: spatial join + tiling over generated images ---------
@@ -127,6 +132,7 @@ def main() -> None:
         "token_counts",
         "quality",
         "embedding_dups",
+        "embedding_dups_lsh",
     ):
         timed(name, lambda name=name: Q[name](spark, sf_dir).count())
 
@@ -139,6 +145,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "images": n_images,
                 "assignments": n_assign,
