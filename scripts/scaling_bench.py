@@ -108,17 +108,24 @@ class Level:
 def main() -> None:
     n_images = int(os.environ.get("SCALE_IMAGES", "600000"))
     n_pairs = int(os.environ.get("SCALE_PAIRS", "6"))
+    n_reps = int(os.environ.get("SCALE_REPS", "2"))
     # paired interleaved design: both levels stay alive, measurements
     # alternate N, 4N, N, 4N ... so time-varying host load (hypervisor
     # steal) hits both levels equally; efficiency is the median of the
-    # per-pair ratios.
+    # per-pair ratios.  Each pair takes the MIN of SCALE_REPS
+    # interleaved repeats per level (timeit rationale applied inside
+    # the pair): a steal burst must now hit every repeat of a level to
+    # contaminate that pair's ratio, instead of any single run.
     lo = Level(3, n_images)
     hi = Level(12, n_images)
     t3, t12, pair_eff = [], [], []
     try:
         for i in range(n_pairs):
-            a = lo.run_once()
-            b = hi.run_once()
+            la, lb = [], []
+            for _ in range(n_reps):
+                la.append(lo.run_once())
+                lb.append(hi.run_once())
+            a, b = min(la), min(lb)
             t3.append(round(a, 3))
             t12.append(round(b, 3))
             pair_eff.append(round(a / b / 4.0, 3))
@@ -166,7 +173,9 @@ scan of the byte column) over
 {n_images:,} generated images with real bytes — the compute profile of
 the 100 TB pipeline.  Paired interleaved measurement (levels alternate
 in time so host-load variation cancels), median of
-{len(result['pair_efficiencies'])} pairs after warm-up; identical
+{len(result['pair_efficiencies'])} pairs after warm-up, each pair the
+min of {n_reps} interleaved repeats per level (a steal burst must hit
+every repeat of a level to contaminate a pair); identical
 96-partition input at both levels.
 
 | level | median sec | images/sec |
