@@ -222,7 +222,6 @@ def minhash_dup_pairs(
     threshold: float = 0.8,
     est_margin: float = 0.1,
     rebalance: int | None = None,
-    broadcast_cap: int = 1_000_000,
 ) -> DataFrame:
     """LSH candidates (bucket equi-join) → signature-estimate pre-filter
     (matching-minhash fraction ≥ threshold − est_margin) → exact
@@ -289,25 +288,25 @@ def minhash_dup_pairs(
     sigs.unpersist()
     raw_cand.unpersist()
     # exact verify: pull text only for docs that appear in a candidate
-    # pair (semi-join), shingle JVM-side, broadcast the tiny result back
-    # — but only HINT broadcast while the candidate set is provably
-    # small; past broadcast_cap ids, a high-duplication corpus would
-    # blow the driver through the O(text length) shingle sets, so fall
-    # back to a plain shuffled join and let AQE decide.
+    # pair (semi-join), shingle JVM-side.  No explicit broadcast hint:
+    # AQE sizes the joins at runtime — it broadcasts the candidate side
+    # while it is small (the normal ~1e-6-selectivity case) and degrades
+    # to a shuffle join on a high-duplication corpus where the
+    # O(text length) shingle sets would otherwise blow the driver
+    # through a forced broadcast.  Runtime-decided is also one job
+    # cheaper than a count()-gated hint.
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    n_cand_ids = cand_ids.count()  # cheap: cand is checkpointed
-    bcast = F.broadcast if n_cand_ids <= broadcast_cap else (lambda df: df)
-    sub = docs.join(bcast(cand_ids), "doc_id", "left_semi").select(
+    sub = docs.join(cand_ids, "doc_id", "left_semi").select(
         "doc_id", shingle_col("text", k).alias("sh")
     )
     j = cand.join(
-        bcast(sub.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"})), "doc_a"
+        sub.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a"
     ).join(
-        bcast(sub.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"})), "doc_b"
+        sub.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b"
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.greatest(
         F.size(F.array_union("sh_a", "sh_b")), F.lit(1)
