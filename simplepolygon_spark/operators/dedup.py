@@ -558,11 +558,24 @@ def srp_signatures(
     return emb.select(id_col, vec_col).mapInArrow(run, schema)
 
 
+def srp_bands_for_threshold(num_planes: int, threshold: float) -> int:
+    """SRP twin of ``bands_for_threshold``: for cosine threshold c, a
+    sign bit matches with p = 1 − arccos(c)/π (Charikar), so the
+    banding problem reduces to the minhash one at similarity p —
+    fewest bands whose S-curve knee sits at or below p.  E.g. 64
+    planes at c=0.95 → p≈0.899 → 8×8 banding (knee 0.771)."""
+    import math
+
+    c = min(max(threshold, -1.0), 1.0)
+    p = 1.0 - math.acos(c) / math.pi
+    return bands_for_threshold(num_planes, p)
+
+
 def embedding_dup_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.95,
     num_planes: int = 64,
-    bands: int = 8,
+    bands: int | None = None,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -578,10 +591,13 @@ def embedding_dup_pairs_lsh(
 
     Recall: exact duplicates (cosine 1, e.g. rescaled copies) collide
     in every band — recall exactly 1.  Near-duplicates at cosine c
-    match each bit with p = 1 − arccos(c)/π, so 8 bands × 8 bits gives
-    1 − (1 − p⁸)⁸ ≈ 0.99 at c = 0.99, 0.59 at c = 0.95 — raise
-    ``bands`` (more, shorter bands) for recall on softer thresholds,
-    exactly the minhash ``bands_for_threshold`` trade-off."""
+    match each bit with p = 1 − arccos(c)/π; ``bands=None`` derives the
+    banding from the threshold via ``srp_bands_for_threshold`` (fewest
+    bands whose knee sits at or below p — recall ≥63% AT the threshold,
+    climbing steeply above), exactly the minhash ``bands_for_threshold``
+    trade-off mapped through the SRP collision probability."""
+    if bands is None:
+        bands = srp_bands_for_threshold(num_planes, threshold)
     r = num_planes // bands
     if bands * r != num_planes:
         raise ValueError("bands must divide num_planes")

@@ -286,3 +286,14 @@ def test_batch_minhash_equals_per_doc_reference():
         with np.errstate(over="ignore"):
             ref = ((A[:, None] * sh[None, :] + B[:, None]) % np.uint64(_MERSENNE)).min(axis=1)
         assert (got[:, j] == ref).all(), t
+
+
+def test_srp_bands_for_threshold():
+    from simplepolygon_spark.operators.dedup import srp_bands_for_threshold
+
+    # c=0.95 -> p~0.899 -> 8 bands (knee 0.771 <= p; 4 bands' 0.917 > p)
+    assert srp_bands_for_threshold(64, 0.95) == 8
+    # c=0.99 -> p~0.955 -> 4 bands (knee 0.917)
+    assert srp_bands_for_threshold(64, 0.99) == 4
+    # c=1.0 -> p=1.0 -> 1 band suffices (exact dups collide everywhere)
+    assert srp_bands_for_threshold(64, 1.0) == 1
