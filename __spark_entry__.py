@@ -612,11 +612,25 @@ def _q_ngram_jaccard_sql():
 
 
 def q_embedding_dups(spark, sf_dir):
+    """All-pairs-within-block near-dup (the small-scale oracle shape;
+    q:embedding_dups_lsh is the scale path).  The corpus is augmented
+    with exactly-rescaled copies (x2.0 — exact in binary FP) of the
+    first 30 vectors, copies keeping their source's label, so the gate
+    is NON-VACUOUS: 30 planted pairs must surface (the organic max
+    pairwise cosine is ~0.51, so nothing else qualifies at 0.9)."""
     from simplepolygon_spark.operators.dedup import embedding_dup_pairs
 
     e = _read(spark, sf_dir, "embeddings")
+    planted = e.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 2.0)
+        .cast("array<float>")
+        .alias("embedding"),
+        "label",
+    )
+    aug = e.unionByName(planted)
     return (
-        embedding_dup_pairs(e, threshold=0.9, block_col="label")
+        embedding_dup_pairs(aug, threshold=0.9, block_col="label")
         .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")
     )
@@ -624,10 +638,19 @@ def q_embedding_dups(spark, sf_dir):
 
 def _q_embedding_dups_sql():
     return """
+        WITH aug AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(CAST(x * 2.0 AS FLOAT) AS DOUBLE)),
+                 label
+          FROM embeddings WHERE vec_id < 30
+        )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM embeddings a JOIN embeddings b
+        FROM aug a JOIN aug b
           ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.9
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.9
     """
 
 

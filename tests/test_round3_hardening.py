@@ -297,3 +297,90 @@ def test_srp_bands_for_threshold():
     assert srp_bands_for_threshold(64, 0.99) == 4
     # c=1.0 -> p=1.0 -> 1 band suffices (exact dups collide everywhere)
     assert srp_bands_for_threshold(64, 1.0) == 1
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (IVF index build at scale)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_distributed_matches_single_node(spark, emb):
+    """Same init, same iters: the cluster-fitted centroids must equal a
+    plain numpy k-means to float accumulation order; and the fit must be
+    invariant to how the corpus is partitioned."""
+    import numpy as np
+
+    from simplepolygon_spark.operators.similarity import kmeans_fit_distributed
+
+    X = np.asarray(
+        [r.embedding for r in emb.orderBy("vec_id").collect()], np.float64
+    )
+    rng = np.random.default_rng(3)
+    init = X[rng.choice(len(X), size=8, replace=False)].copy()
+
+    # single-node reference with identical update rule (empty keeps old)
+    C = init.copy()
+    for _ in range(4):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(8):
+            m = a == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+
+    got1 = kmeans_fit_distributed(emb.repartition(7), 8, iters=4, init=init)
+    got2 = kmeans_fit_distributed(emb.coalesce(1), 8, iters=4, init=init)
+    assert np.allclose(got1, C, rtol=1e-9, atol=1e-9)
+    assert np.allclose(got2, C, rtol=1e-9, atol=1e-9)
+
+
+def test_kmeans_distributed_default_init_deterministic(spark, emb):
+    import numpy as np
+
+    from simplepolygon_spark.operators.similarity import kmeans_fit_distributed
+
+    a = kmeans_fit_distributed(emb.repartition(5), 4, iters=2)
+    b = kmeans_fit_distributed(emb.repartition(2), 4, iters=2)
+    assert np.allclose(a, b, rtol=1e-9, atol=1e-9)
+    assert a.shape == (4, 64)
+
+
+def test_kmeans_distributed_feeds_ivf(spark, emb):
+    """End-to-end: cluster-fitted centroids drive ivf_topk.  With ALL
+    centroids probed IVF must equal brute force EXACTLY (the candidate
+    mask covers the corpus); with 3/8 probes it returns a valid partial
+    recall (this corpus is random 64-dim noise — no cluster structure —
+    so partial-probe recall is inherently modest; the point of the test
+    is the plumbing, the exactness invariant, and monotonicity)."""
+    import numpy as np
+
+    from simplepolygon_spark.operators.similarity import (
+        cosine_topk_window,
+        ivf_topk,
+        kmeans_fit_distributed,
+    )
+
+    C = kmeans_fit_distributed(emb, 8, iters=4)
+    pdf = emb.where(F.col("vec_id").isin([1, 2, 3])).toPandas()
+    queries = {int(r.vec_id): np.asarray(r.embedding, np.float64) for r in pdf.itertuples()}
+    q = spark.createDataFrame(pdf[["vec_id", "embedding"]]).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    exact = {(r.query_id, r.rank, r.vec_id) for r in cosine_topk_window(emb, q, k=5).collect()}
+    full = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in ivf_topk(emb, queries, C, k=5, probes=8).collect()
+    }
+    assert full == exact  # all probes == brute force, bit-exact ranks
+
+    ex_pairs = {(a, c) for a, _, c in exact}
+    r3 = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, C, k=5, probes=3).collect()
+    }
+    r6 = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, C, k=5, probes=6).collect()
+    }
+    assert len(r3 & ex_pairs) >= 1
+    assert len(r6 & ex_pairs) >= len(r3 & ex_pairs)  # recall grows with probes
