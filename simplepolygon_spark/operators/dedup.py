@@ -439,9 +439,11 @@ def simhash_64(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInArrow(run, schema)
 
 
-def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Candidates share ≥1 of 4 bands (pigeonhole: recall is exactly 1
-    for hamming ≤ 3, a strong filter beyond); verified by exact
+    for hamming ≤ 3 — hence the default; at max_hamming > 3 the banding
+    becomes a partial-recall filter and a caller wanting guaranteed
+    recall needs max_hamming+1 shorter bands); verified by exact
     popcount distance.
 
     Plan shape: the four bands are MELTED with one posexplode into
@@ -481,7 +483,13 @@ def embedding_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, block_col: str | None = "label"
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold; dot products via JVM higher-order
-    functions (zip_with + aggregate) — no Python in the join."""
+    functions (zip_with + aggregate) — no Python in the join.
+
+    ALL-PAIRS within the caller-supplied block (cross join without one)
+    — quadratic in the block size, kept as the small-scale oracle shape
+    against which ``embedding_dup_pairs_lsh`` (the bucketed scale path)
+    is verified.  Use the LSH form on anything bigger than a dim
+    table."""
     norm = F.sqrt(
         F.aggregate(
             F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
