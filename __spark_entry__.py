@@ -516,10 +516,14 @@ def q_pack_sequences(spark, sf_dir):
 
 
 def _q_pack_sequences_sql():
+    # mirrors sampling._n_tokens_col exactly: regex trim of ALL
+    # whitespace + explicit NULL/empty -> 0
     return r"""
         WITH t AS (SELECT doc_id,
-                          CASE WHEN trim(text) = '' THEN 0
-                               ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+                          CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') IS NULL
+                                 OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                               ELSE CAST(len(regexp_split_to_array(
+                                      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS INTEGER)
                           END AS n_tokens
                    FROM documents),
         p AS (SELECT doc_id, n_tokens,
@@ -548,8 +552,10 @@ def _q_pack_sequences_sharded_sql():
     return r"""
         WITH t AS (SELECT doc_id,
                           CAST(doc_id % 64 AS INTEGER) AS shard,
-                          CASE WHEN trim(text) = '' THEN 0
-                               ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+                          CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') IS NULL
+                                 OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                               ELSE CAST(len(regexp_split_to_array(
+                                      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS INTEGER)
                           END AS n_tokens
                    FROM documents),
         p AS (SELECT doc_id, n_tokens, shard,

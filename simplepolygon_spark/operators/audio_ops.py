@@ -36,7 +36,11 @@ def audio_features(clips: DataFrame) -> DataFrame:
                 out["clip_id"].append(cid)
                 out["duration_sec"].append(len(pcm) / sr)
                 out["rms"].append(float(np.sqrt((x * x).mean())) if len(x) else 0.0)
-                out["peak"].append(int(np.abs(pcm).max()) if len(pcm) else 0)
+                # upcast before abs: np.abs(int16 -32768) overflows back
+                # to -32768 and would report a wrong (negative) peak
+                out["peak"].append(
+                    int(np.abs(pcm.astype(np.int64)).max()) if len(pcm) else 0
+                )
                 zc = (np.signbit(x[1:]) != np.signbit(x[:-1])).mean() if len(x) > 1 else 0.0
                 out["zero_cross_rate"].append(float(zc))
             yield pa.RecordBatch.from_arrays(

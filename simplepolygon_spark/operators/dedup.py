@@ -99,10 +99,12 @@ def _batch_minhash(
     ``np.minimum.reduceat`` — windows that straddle document boundaries
     are skipped by index arithmetic, not masking.  min over all windows
     equals min over the unique shingle set, so values are identical to
-    ``_shingle_hashes``-based signatures.  Memory stays O(total bytes +
-    num_hashes · n_docs): the hash-function dimension is looped (64
-    iterations of whole-buffer vector ops), never materialized as a
-    num_hashes × total_windows matrix."""
+    ``_shingle_hashes``-based signatures.  Memory stays a small constant
+    multiple of the batch's bytes: both the window-hash pass (Horner
+    over shifted 1-D views, see below) and the hash-function dimension
+    (64 iterations of whole-buffer vector ops) are looped — neither a
+    k-wide window matrix nor a num_hashes × total_windows matrix is
+    ever materialized."""
     bufs = []
     for t in texts:
         b = np.frombuffer(t.lower().encode("utf-8", "replace"), dtype=np.uint8)
@@ -111,9 +113,18 @@ def _batch_minhash(
         bufs.append(b)
     lens = np.array([len(b) for b in bufs], dtype=np.int64)
     cat = np.concatenate(bufs)
-    win = np.lib.stride_tricks.sliding_window_view(cat, k).astype(np.uint64)
-    powers = np.power(np.uint64(257), np.arange(k, dtype=np.uint64), dtype=np.uint64)
-    H = (win * powers).sum(axis=1, dtype=np.uint64)  # every window, incl. straddlers
+    # Horner over k shifted views of the 1-D buffer: H[w] = sum_j
+    # byte[w+j]*257^j — identical values (incl. mod-2^64 wraparound) to
+    # a (window_matrix * powers).sum, WITHOUT materializing the k-wide
+    # uint64 window matrix (8k bytes per input byte — a multi-GB
+    # transient on a 10k-row batch of 10 KB docs); this form peaks at
+    # ~24 transient bytes per input byte regardless of k.
+    n_total = len(cat) - k + 1
+    H = np.zeros(n_total, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k - 1, -1, -1):
+            H *= np.uint64(257)
+            H += cat[j : j + n_total].astype(np.uint64)
     n_win = lens - k + 1
     offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
     starts = np.concatenate([[0], np.cumsum(n_win)[:-1]])
@@ -246,7 +257,12 @@ def minhash_dup_pairs(
     necessarily bands closer to that floor — threshold 0.5 derives 16x4
     banding, which on 5000 word-salad docs emitted 183k candidates and
     dominated the whole bench.  Callers who truly need j≥0.5 recall pay
-    that candidate cost knowingly."""
+    that candidate cost knowingly.
+
+    NOTE: calling this function RUNS the signature + candidate jobs
+    immediately (eager localCheckpoint — the price of releasing the
+    intermediate sig/candidate caches deterministically instead of
+    leaking them for the session); the returned frame is then cheap."""
     # rebalance (opt-in): a small single-file table arrives as one
     # split and serializes the Arrow signature kernel — pass a target
     # partition count to spread it.  Deliberately NOT the default: at
@@ -405,12 +421,40 @@ def simhash_of_texts(texts: list) -> np.ndarray:
     return sig
 
 
+# The one place the SimHash banding geometry is defined: 4 bands of 16
+# bits pigeonhole guaranteed recall for hamming <= 3 (= n_bands - 1).
+# Batch operators AND the streaming path (streaming/feed.py) both build
+# on these — change them together or bucket keys diverge between the
+# stream and the landed-table batch job.
+SIMHASH_N_BANDS = 4
+SIMHASH_BAND_BITS = 16
+SIMHASH_BAND_COLS = [f"band{b}" for b in range(SIMHASH_N_BANDS)]
+
+
+def simhash_band_arrays(sig: np.ndarray) -> list[np.ndarray]:
+    """int32 band keys (one array per band) from uint64 signatures."""
+    mask = np.uint64((1 << SIMHASH_BAND_BITS) - 1)
+    return [
+        ((sig >> np.uint64(SIMHASH_BAND_BITS * b)) & mask).astype(np.int32)
+        for b in range(SIMHASH_N_BANDS)
+    ]
+
+
+def melt_simhash_bands(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(cols..., band, bk): one row per (row, band) from band0..bandN."""
+    return df.select(
+        *cols, F.posexplode(F.array(*SIMHASH_BAND_COLS)).alias("band", "bk")
+    )
+
+
 def simhash_64(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash, band0..band3): 64-bit SimHash over whitespace
-    tokens (occurrence-weighted majority vote per bit) + four 16-bit
-    bands for Hamming blocking.  The whole batch is hashed in one
-    vectorized pass — no per-token Python (round-1 advice)."""
-    schema = "doc_id long, simhash long, band0 int, band1 int, band2 int, band3 int"
+    tokens (occurrence-weighted majority vote per bit) + 16-bit bands
+    for Hamming blocking.  The whole batch is hashed in one vectorized
+    pass — no per-token Python (round-1 advice)."""
+    schema = "doc_id long, simhash long, " + ", ".join(
+        f"{c} int" for c in SIMHASH_BAND_COLS
+    )
 
     def run(batches):
         for batch in batches:
@@ -423,17 +467,9 @@ def simhash_64(docs: DataFrame) -> DataFrame:
                 [
                     pa.array(ids.astype(np.int64), pa.int64()),
                     pa.array(sig.view(np.int64), pa.int64()),
-                    *[
-                        pa.array(
-                            ((sig >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)).astype(
-                                np.int32
-                            ),
-                            pa.int32(),
-                        )
-                        for bnd in range(4)
-                    ],
+                    *[pa.array(b, pa.int32()) for b in simhash_band_arrays(sig)],
                 ],
-                names=["doc_id", "simhash", "band0", "band1", "band2", "band3"],
+                names=["doc_id", "simhash", *SIMHASH_BAND_COLS],
             )
 
     return docs.select("doc_id", "text").mapInArrow(run, schema)
@@ -446,17 +482,11 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     recall needs max_hamming+1 shorter bands); verified by exact
     popcount distance.
 
-    Plan shape: the four bands are MELTED with one posexplode into
+    Plan shape: the bands are MELTED with one posexplode into
     (doc_id, simhash, band, key) rows and self-joined on (band, key) —
     ONE signature pass over the corpus and one equi-join, instead of
     the previous four union branches that each re-ran the Arrow kernel."""
-    sh = simhash_64(docs).select(
-        "doc_id",
-        "simhash",
-        F.posexplode(F.array("band0", "band1", "band2", "band3")).alias(
-            "band", "bk"
-        ),
-    )
+    sh = melt_simhash_bands(simhash_64(docs), ["doc_id", "simhash"])
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bk"
     )
@@ -603,7 +633,11 @@ def embedding_dup_pairs_lsh(
     banding from the threshold via ``srp_bands_for_threshold`` (fewest
     bands whose knee sits at or below p — recall ≥63% AT the threshold,
     climbing steeply above), exactly the minhash ``bands_for_threshold``
-    trade-off mapped through the SRP collision probability."""
+    trade-off mapped through the SRP collision probability.
+
+    NOTE: calling this function RUNS the signature + bucket-join jobs
+    immediately (eager localCheckpoint of the candidate ids, so no
+    cached frame outlives the call); the returned frame is then cheap."""
     if bands is None:
         bands = srp_bands_for_threshold(num_planes, threshold)
     r = num_planes // bands
@@ -690,7 +724,10 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     # the logical plan stays O(1) per round instead of growing 3^k —
     # without it Catalyst itself OOMs around round 9.  At warehouse
     # scale, set a reliable checkpoint dir and use .checkpoint() for
-    # executor-loss safety.
+    # executor-loss safety.  Superseded rounds' checkpoint blocks (tiny:
+    # two longs per node) have no public unpersist handle; they are
+    # dropped when the rebound Python reference is GC'd, bounded by
+    # max_iters per call.
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()

@@ -41,13 +41,17 @@ def stratified_sample(
     spreading a giant stratum across reducers; correctness is unchanged
     because the global top-n is always contained in the union of local
     top-ns (the md5 order is a total order independent of placement)."""
+    pid, lrn = "__strat_pid", "__strat_lrn"
+    clash = [c for c in (pid, lrn) if c in df.columns]
+    if clash:
+        raise ValueError(f"stratified_sample: input already has column(s) {clash}")
     order = F.md5(F.col(id_col).cast("string"))
-    local_w = Window.partitionBy(strata_col, "_pid").orderBy(order, id_col)
+    local_w = Window.partitionBy(strata_col, pid).orderBy(order, id_col)
     pruned = (
-        df.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_lrn", F.row_number().over(local_w))
-        .where(F.col("_lrn") <= n_per_stratum)
-        .drop("_pid", "_lrn")
+        df.withColumn(pid, F.spark_partition_id())
+        .withColumn(lrn, F.row_number().over(local_w))
+        .where(F.col(lrn) <= n_per_stratum)
+        .drop(pid, lrn)
     )
     w = Window.partitionBy(strata_col).orderBy(order, id_col)
     return (
@@ -66,11 +70,15 @@ def approx_stratified(
 
 
 def _n_tokens_col():
-    """Whitespace token count; an empty or whitespace-only text is 0
-    tokens (split of an empty trimmed string yields [''] — counting
-    that phantom token would inflate bin budgets)."""
-    return F.when(F.trim("text") == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim("text"), "\\s+"))
+    """Whitespace token count; a NULL, empty, or whitespace-only text is
+    0 tokens.  ``regexp_replace`` trims ALL whitespace (``F.trim``
+    strips only spaces, so a '\\t'-only text would still count phantom
+    tokens), and the NULL branch is explicit (``size(split(NULL))`` is
+    -1 under default sizeOfNull, which would make prefix sums
+    DECREASE)."""
+    t = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
+    return F.when(t.isNull() | (t == ""), F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
     )
 
 

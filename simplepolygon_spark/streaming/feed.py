@@ -111,16 +111,22 @@ def dedupe_near_feed(doc_feed: DataFrame, watermark: str = "10 minutes") -> Data
     )
 
 def _with_simhash_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, text, ts, simhash, band0..band3) — the stream-side twin
-    of operators.dedup.simhash_64 (same kernel, plus passthrough cols)."""
+    """(doc_id, text, ts, simhash, band0..bandN) — the stream-side twin
+    of operators.dedup.simhash_64: same hash kernel, same banding
+    geometry (dedup.SIMHASH_N_BANDS/SIMHASH_BAND_BITS — the single
+    source of truth, so stream and landed-table batch bucket keys can
+    never diverge), plus passthrough cols."""
     import numpy as np
     import pyarrow as pa
 
-    from ..operators.dedup import simhash_of_texts
+    from ..operators.dedup import (
+        SIMHASH_BAND_COLS,
+        simhash_band_arrays,
+        simhash_of_texts,
+    )
 
-    schema = (
-        "doc_id long, text string, ts timestamp, simhash long, "
-        "band0 int, band1 int, band2 int, band3 int"
+    schema = "doc_id long, text string, ts timestamp, simhash long, " + ", ".join(
+        f"{c} int" for c in SIMHASH_BAND_COLS
     )
 
     def run(batches):
@@ -134,32 +140,12 @@ def _with_simhash_bands(docs: DataFrame) -> DataFrame:
                     batch.column("text"),
                     batch.column("ts"),
                     pa.array(sig.view(np.int64), pa.int64()),
-                    *[
-                        pa.array(
-                            ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(
-                                np.int32
-                            ),
-                            pa.int32(),
-                        )
-                        for b in range(4)
-                    ],
+                    *[pa.array(b, pa.int32()) for b in simhash_band_arrays(sig)],
                 ],
-                names=[
-                    "doc_id", "text", "ts", "simhash",
-                    "band0", "band1", "band2", "band3",
-                ],
+                names=["doc_id", "text", "ts", "simhash", *SIMHASH_BAND_COLS],
             )
 
     return docs.select("doc_id", "text", "ts").mapInArrow(run, schema)
-
-
-def _melt_bands(sigs: DataFrame) -> DataFrame:
-    return sigs.select(
-        "doc_id",
-        "ts",
-        "simhash",
-        F.posexplode(F.array("band0", "band1", "band2", "band3")).alias("band", "bk"),
-    )
 
 
 def banded_dedup_batch(
@@ -172,15 +158,22 @@ def banded_dedup_batch(
     """One micro-batch of banded near-dedup (the ``foreachBatch`` body,
     split out so tests can drive it as plain batch code).
 
-    Greedy first-wins over stream order (ts, then doc_id): a doc is
-    SUPPRESSED iff any strictly-earlier doc — in the signature store or
-    earlier in this batch — shares a SimHash band and sits within
-    ``max_hamming``.  Pigeonhole over 4×16-bit bands makes band-share a
-    lossless filter for hamming ≤ 3, so this is exact, and comparisons
-    run against ALL prior docs (suppressed ones included — the store
-    keeps every signature), which makes the emitted set a pure function
-    of the landed table: doc b survives iff batch
-    ``simhash_dup_pairs`` yields no partner earlier than b.
+    Greedy first-wins over (ts, then doc_id): a doc is SUPPRESSED iff a
+    strictly-earlier doc — in the signature store or earlier in this
+    batch — shares a SimHash band and sits within ``max_hamming``; both
+    the in-batch and the cross-batch join enforce the (ts, doc_id)
+    order, so a late-arriving doc is never suppressed by a LATER-ts doc
+    that merely arrived first.  Pigeonhole over 4×16-bit bands makes
+    band-share a lossless filter for hamming ≤ 3, and comparisons run
+    against ALL prior docs (suppressed ones included — the store keeps
+    every signature).  For an in-order feed the emitted set is a pure
+    function of the landed table: doc b survives iff batch
+    ``simhash_dup_pairs`` yields no partner earlier than b (tested).
+    With out-of-order arrival the suppression DECISIONS stay
+    order-correct, but an already-emitted later doc cannot be
+    retracted — both members of a pair may emit, the inherent
+    streaming limit (use the batch job on the landed table for exact
+    retro-dedup).
 
     Plan shape per batch: two (band, key) equi-joins — batch×store and
     batch×batch — signatures only (16 bytes + 4 band ints per doc;
@@ -193,7 +186,9 @@ def banded_dedup_batch(
     try:
         from pyspark.errors import AnalysisException
 
-        m = _melt_bands(sigs)
+        from ..operators.dedup import SIMHASH_BAND_COLS, melt_simhash_bands
+
+        m = melt_simhash_bands(sigs, ["doc_id", "ts", "simhash"])
         try:
             # exclude THIS batch id from the store: on a replayed batch
             # the previous attempt's own signatures are already there and
@@ -208,15 +203,28 @@ def banded_dedup_batch(
         ham = lambda a, b: F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
         sup_cross = None
         if state is not None:
-            st = state.select(
+            st = melt_simhash_bands(state, ["doc_id", "ts", "simhash"]).select(
+                F.col("doc_id").alias("id_prev"),
+                F.col("ts").alias("ts_prev"),
                 F.col("simhash").alias("sh_prev"),
-                F.posexplode(F.array("band0", "band1", "band2", "band3")).alias(
-                    "band", "bk"
-                ),
+                "band",
+                "bk",
+            )
+            # the store doc must be strictly EARLIER by (ts, doc_id) —
+            # without this predicate a late-arriving doc would be
+            # suppressed by a later-ts doc that merely arrived first,
+            # diverging from the landed-table (batch) pair order.  Note
+            # the already-emitted later doc cannot be retracted: with
+            # out-of-order arrival both members of a pair may emit —
+            # the inherent streaming limit; for in-order feeds output
+            # equals the batch survivor set exactly (tested).
+            prev_earlier = (F.col("ts_prev") < F.col("ts")) | (
+                (F.col("ts_prev") == F.col("ts"))
+                & (F.col("id_prev") < F.col("doc_id"))
             )
             sup_cross = (
                 m.join(st, ["band", "bk"])
-                .where(ham("simhash", "sh_prev") <= max_hamming)
+                .where(prev_earlier & (ham("simhash", "sh_prev") <= max_hamming))
                 .select("doc_id")
             )
         a = m.select(
@@ -241,7 +249,7 @@ def banded_dedup_batch(
         # state grows by EVERY doc's signature (suppressed included);
         # sinks are idempotent under micro-batch replay
         for df, path, cols in (
-            (sigs, state_dir, ["doc_id", "ts", "simhash", "band0", "band1", "band2", "band3"]),
+            (sigs, state_dir, ["doc_id", "ts", "simhash", *SIMHASH_BAND_COLS]),
             (survivors, out_dir, ["doc_id", "text", "ts", "simhash"]),
         ):
             (

@@ -63,7 +63,8 @@ def test_pack_sequences_empty_text_zero_tokens(spark):
     )
 
     d = spark.createDataFrame(
-        [(0, "one two three"), (1, ""), (2, "   "), (3, "x")],
+        [(0, "one two three"), (1, ""), (2, "   "), (3, "x"),
+         (4, "\t\n \t"), (5, None), (6, "\ta\tb\n")],
         "doc_id long, text string",
     )
     rows = {r.doc_id: r for r in pack_sequences(d, window_tokens=10).collect()}
@@ -71,13 +72,16 @@ def test_pack_sequences_empty_text_zero_tokens(spark):
     assert rows[1].n_tokens == 0
     assert rows[2].n_tokens == 0
     assert rows[3].n_tokens == 1
+    assert rows[4].n_tokens == 0   # tabs/newlines only — not just spaces
+    assert rows[5].n_tokens == 0   # NULL text must not yield -1
+    assert rows[6].n_tokens == 2   # tab-separated tokens, trimmed ends
     # a zero-token doc consumes no budget: doc 3's offset is 3, not 5
     assert rows[3].bin_offset == 3
     srows = {
         r.doc_id: r
         for r in pack_sequences_sharded(d, window_tokens=10, shards=1).collect()
     }
-    assert [srows[i].n_tokens for i in range(4)] == [3, 0, 0, 1]
+    assert [srows[i].n_tokens for i in range(7)] == [3, 0, 0, 1, 0, 0, 2]
 
 
 def test_pack_sequences_sharded_matches_per_shard_recompute(spark, docs):

@@ -212,3 +212,31 @@ def test_banded_dedup_batch_replay_is_idempotent(spark, tmp_path):
     assert first == again
     n_state = spark.read.parquet(state).count()
     assert n_state == 21
+
+
+def test_banded_dedup_late_arrival_not_suppressed_by_later_doc(spark, tmp_path):
+    """A doc that arrives late but carries an EARLIER (ts, doc_id) than
+    a near-identical doc already in the store must NOT be suppressed —
+    cross-batch suppression respects the landed-table order, not
+    arrival order."""
+    import pandas as pd
+
+    from simplepolygon_spark.streaming.feed import (
+        _with_simhash_bands,
+        banded_dedup_batch,
+    )
+
+    ts0 = pd.Timestamp("2026-01-01")
+    text = "an entirely ordinary document body for late arrival testing"
+    # batch 0: the LATER doc (ts +60s) arrives first
+    b0 = pd.DataFrame([(10, text, ts0 + pd.Timedelta(seconds=60))],
+                      columns=["doc_id", "text", "ts"])
+    # batch 1: the EARLIER doc arrives late
+    b1 = pd.DataFrame([(3, text, ts0)], columns=["doc_id", "text", "ts"])
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    banded_dedup_batch(_with_simhash_bands(spark.createDataFrame(b0)), 0, out, state)
+    banded_dedup_batch(_with_simhash_bands(spark.createDataFrame(b1)), 1, out, state)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # both emit: doc 3 is genuinely earlier (never suppressed); doc 10
+    # was already emitted before doc 3 arrived (cannot be retracted)
+    assert got == [3, 10]
