@@ -617,6 +617,37 @@ def _q_ngram_jaccard_sql():
     """
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Corpus bigram top-20 (vocabulary stats): JVM-only n-gram
+    generation, map-side-combined counts, TakeOrderedAndProject top-k."""
+    from simplepolygon_spark.operators.text import top_ngrams
+
+    d = _read(spark, sf_dir, "documents")
+    return top_ngrams(d, n=2, k=20).orderBy("rank")
+
+
+def _q_top_ngrams_sql():
+    return r"""
+        WITH toks AS (
+          SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                       i -> array_to_string(t[i:i+1], ' '))) AS ngram
+          FROM toks WHERE len(t) >= 2
+        ),
+        counted AS (
+          SELECT ngram, count(*) AS cnt FROM grams GROUP BY ngram
+        )
+        SELECT ngram, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, ngram) AS INTEGER) AS rank
+        FROM counted
+        ORDER BY cnt DESC, ngram
+        LIMIT 20
+    """
+
+
 def q_embedding_dups(spark, sf_dir):
     """All-pairs-within-block near-dup (the small-scale oracle shape;
     q:embedding_dups_lsh is the scale path).  The corpus is augmented
@@ -1145,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "top_ngrams": q_top_ngrams,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_sharded": q_pack_sequences_sharded,
@@ -1179,6 +1211,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": _q_quality_sql(),
         "lang_id": _q_lang_id_sql(),
         "ngram_jaccard": _q_ngram_jaccard_sql(),
+        "top_ngrams": _q_top_ngrams_sql(),
         "stratified_sample": _q_stratified_sample_sql(),
         "pack_sequences": _q_pack_sequences_sql(),
         "pack_sequences_sharded": _q_pack_sequences_sharded_sql(),

@@ -11,7 +11,7 @@ Operators a 100 TB training-data pipeline runs per document:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
@@ -103,3 +103,36 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     """md5 of lowercase text with punctuation stripped and whitespace
     collapsed — the canonical near-exact-dedup key."""
     return docs.select("doc_id", fingerprint_col("text").alias("fingerprint"))
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """(ngram, cnt, rank): the k most frequent word n-grams of the
+    corpus — the vocabulary/phrase-stats pass of a training-data
+    pipeline.  Ties break on the n-gram string so top-k is
+    deterministic.
+
+    All JVM-side: tokens via split+filter, n-grams via a higher-order
+    transform over start indices (guarded by a ``when`` so a doc
+    shorter than n contributes an EMPTY array — never a descending
+    ``sequence``), counts via map-side-combined groupBy, and the global
+    top-k compiles to TakeOrderedAndProject (per-partition partial
+    top-k; no single-partition sort)."""
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "ngram")
+        .limit(k)
+        # the window runs over k rows only (post-limit) — its single
+        # partition is k rows, not the corpus
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), "ngram"))
+        )
+    )

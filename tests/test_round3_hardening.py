@@ -388,3 +388,21 @@ def test_kmeans_distributed_feeds_ivf(spark, emb):
     }
     assert len(r3 & ex_pairs) >= 1
     assert len(r6 & ex_pairs) >= len(r3 & ex_pairs)  # recall grows with probes
+
+
+def test_top_ngrams_plan_and_edge_cases(spark):
+    from simplepolygon_spark.operators.text import top_ngrams
+
+    d = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b"), (2, "x"), (3, ""), (4, None), (5, "  a   b  ")],
+        "doc_id long, text string",
+    )
+    got = {(r.ngram, r.cnt, r.rank) for r in top_ngrams(d, n=2, k=3).collect()}
+    # "a b" appears in docs 0 (x2), 1, 5 -> 4; "b a"/"b c" once each
+    assert got == {("a b", 4, 1), ("b a", 1, 2), ("b c", 1, 3)}
+    # global top-k must compile to TakeOrderedAndProject (partial per
+    # partition), not a single-partition full sort
+    plan = (
+        top_ngrams(d, n=2, k=3)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
