@@ -162,6 +162,7 @@ def tile_cells_df(
     level: int,
     id_col: str = "image_id",
     max_cells_per_tile: int = 65536,
+    antimeridian: str = "error",
 ) -> DataFrame:
     """(id, cell_id): every level-``level`` Morton cell overlapping each
     tile bbox — pure JVM column expressions (sequence + explode + the
@@ -173,16 +174,24 @@ def tile_cells_df(
     carrying the tile id) rather than being silently dropped — callers
     with legitimately huge tiles pre-coarsen the level or pre-split.
 
-    Inverted bboxes (lon_min > lon_max, e.g. a corrupt row or an
-    antimeridian-crossing tile this engine does not support) also fail
-    loudly: a negative axis extent would make nx*ny non-positive —
-    sailing past the product cap — while ``sequence(start, stop)``
-    happily generates the DESCENDING full-span range, re-creating the
-    very explosion the cap exists to prevent."""
+    ``antimeridian``:
+      'error' (default): lon_min > lon_max fails loudly — a negative
+        axis extent would make nx*ny non-positive (sailing past the
+        product cap) while ``sequence(start, stop)`` happily generates
+        the DESCENDING full-span range, re-creating the very explosion
+        the cap exists to prevent.
+      'split': lon_min > lon_max is interpreted as a dateline-crossing
+        tile; its x-range becomes the union [ix(lon_min), n-1] ∪
+        [0, ix(lon_max)] (one conditional concat of two sequences —
+        still pure JVM), with the cell cap applied to the SUMMED width.
+    A latitude inversion (lat_min > lat_max) has no wrap interpretation
+    and always fails loudly."""
     from pyspark.sql import functions as F
 
     from ..functions.cells_sql import _spread_sql
 
+    if antimeridian not in ("error", "split"):
+        raise ValueError(f"antimeridian={antimeridian!r}: use 'error' or 'split'")
     n = 1 << level
 
     def axis(coord, off, extent):
@@ -191,10 +200,25 @@ def tile_cells_df(
             f"CAST(floor((({coord}) + {off}) / {extent} * {n}) AS BIGINT)))"
         )
 
-    nx = f"({axis('lon_max', 180.0, 360.0)} - {axis('lon_min', 180.0, 360.0)} + 1)"
+    ix0, ix1 = axis("lon_min", 180.0, 360.0), axis("lon_max", 180.0, 360.0)
+    wraps = "(lon_min > lon_max)"
+    if antimeridian == "split":
+        nx = (
+            f"(CASE WHEN {wraps} THEN ({n - 1} - {ix0} + 1) + ({ix1} + 1) "
+            f"ELSE {ix1} - {ix0} + 1 END)"
+        )
+        lon_bad = "FALSE"
+        ixs = (
+            f"CASE WHEN {wraps} THEN concat(sequence({ix0}, {n - 1}L), "
+            f"sequence(0L, {ix1})) ELSE sequence({ix0}, {ix1}) END"
+        )
+    else:
+        nx = f"({ix1} - {ix0} + 1)"
+        lon_bad = f"({nx} <= 0)"
+        ixs = f"sequence({ix0}, {ix1})"
     ny = f"({axis('lat_max', 90.0, 180.0)} - {axis('lat_min', 90.0, 180.0)} + 1)"
     guard = (
-        f"CASE WHEN {nx} <= 0 OR {ny} <= 0 THEN "
+        f"CASE WHEN {lon_bad} OR {ny} <= 0 THEN "
         f"raise_error(concat('tile ', {id_col}, ' has an inverted bbox "
         f"(lon_min > lon_max or lat_min > lat_max)')) "
         f"WHEN {nx} * {ny} > {max_cells_per_tile} THEN "
@@ -206,7 +230,7 @@ def tile_cells_df(
     return (
         images.select(
             F.expr(guard).alias(id_col),
-            F.expr(f"sequence({axis('lon_min', 180.0, 360.0)}, {axis('lon_max', 180.0, 360.0)})").alias("ixs"),
+            F.expr(ixs).alias("ixs"),
             F.expr(f"sequence({axis('lat_min', 90.0, 180.0)}, {axis('lat_max', 90.0, 180.0)})").alias("iys"),
         )
         .select(id_col, F.explode("ixs").alias("ix"), F.col("iys"))

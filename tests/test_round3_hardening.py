@@ -406,3 +406,35 @@ def test_top_ngrams_plan_and_edge_cases(spark):
         top_ngrams(d, n=2, k=3)._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tile_cells_antimeridian_split(spark):
+    """antimeridian='split' treats lon_min > lon_max as a dateline
+    crossing: cells appear on BOTH sides of the dateline and equal the
+    union of the two half-tiles; the default mode still rejects."""
+    from simplepolygon_spark.operators.crosswalk import tile_cells_df
+
+    schema = "image_id string, lon_min double, lon_max double, lat_min double, lat_max double"
+    crossing = spark.createDataFrame(
+        [("t0", 179.9, -179.9, 0.0, 0.1)], schema
+    )
+    got = {
+        r.cell_id
+        for r in tile_cells_df(crossing, level=12, antimeridian="split").collect()
+    }
+    halves = spark.createDataFrame(
+        [("e", 179.9, 180.0, 0.0, 0.1), ("w", -180.0, -179.9, 0.0, 0.1)], schema
+    )
+    expect = {r.cell_id for r in tile_cells_df(halves, level=12).collect()}
+    assert got == expect and len(got) > 2
+
+    with pytest.raises(Exception, match="inverted bbox"):
+        tile_cells_df(crossing, level=12).collect()
+    # latitude inversion has no wrap meaning — split mode still rejects
+    bad_lat = spark.createDataFrame([("t1", 0.0, 1.0, 5.0, 4.0)], schema)
+    with pytest.raises(Exception, match="inverted bbox"):
+        tile_cells_df(bad_lat, level=12, antimeridian="split").collect()
+    # the skew cap applies to the SUMMED width of a wrapped tile
+    wide = spark.createDataFrame([("t2", 10.0, 9.0, -80.0, 80.0)], schema)
+    with pytest.raises(Exception, match="cells at level"):
+        tile_cells_df(wide, level=12, antimeridian="split").collect()
