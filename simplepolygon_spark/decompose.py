@@ -352,3 +352,40 @@ def _set_net_winding(feats: list[dict[str, Any]]) -> None:
         if f["parent"] == -1:
             f["net_winding"] = f["winding"]
             set_children(i, f["net_winding"])
+
+
+def simplepolygon(feature: dict) -> dict:
+    """Drop-in equivalent of the reference's sole public API
+    (``simplepolygon(feature: Feature<Polygon>) -> FeatureCollection``,
+    /root/reference/src/index.ts:39-41): validates the Feature wrapper
+    with the reference's exact error messages (:42-48), decomposes, and
+    assembles the FeatureCollection with the reference's property
+    contract — index/parent/winding/netWinding, and NO ``index`` key on
+    the zero-intersection fast path (quirk Q3).  Pure Python/numpy (no
+    Spark) — the single-feature form; the columnar form is
+    ``operators.geojson.decompose_geojson``."""
+    if not isinstance(feature, dict) or feature.get("type") != "Feature":
+        raise DecomposeError("The input must a geojson object of type Feature")
+    geom = feature.get("geometry")
+    if geom is None:
+        raise DecomposeError(
+            "The input must a geojson object with a non-empty geometry"
+        )
+    if geom.get("type") != "Polygon":
+        raise DecomposeError("The input must be a geojson Polygon")
+    out = []
+    for f in decompose(geom["coordinates"]):
+        props: dict[str, Any] = {}
+        if f["index"] is not None:
+            props["index"] = f["index"]
+        props.update(
+            parent=f["parent"], winding=f["winding"], netWinding=f["net_winding"]
+        )
+        out.append(
+            {
+                "type": "Feature",
+                "properties": props,
+                "geometry": {"type": "Polygon", "coordinates": [f["coords"]]},
+            }
+        )
+    return {"type": "FeatureCollection", "features": out}

@@ -108,3 +108,44 @@ def test_empty_geometry_error():
 def test_degenerate_ring_error():
     with pytest.raises(DecomposeError):
         decompose([[[0, 0], [1, 1]]])
+
+
+def test_simplepolygon_drop_in_equals_goldens():
+    """The pure-Python drop-in API reproduces the reference's own test
+    assertion: colorize(simplepolygon(fixture)) == golden JSON, for all
+    three reference fixtures (/root/reference/test/index.test.ts)."""
+    import json
+    import os
+
+    from simplepolygon_spark.decompose import simplepolygon
+    from simplepolygon_spark.sources.fixtures import REFERENCE_TEST_DIR
+
+    def colorize(fc, colors=("#F00", "#00F", "#0F0", "#F0F", "#FFF"), width=6):
+        for i, f in enumerate(fc["features"]):
+            c = colors[i % len(colors)]
+            f["properties"].update(
+                {"stroke": c, "fill": c, "stroke-width": width, "fill-opacity": 0.1}
+            )
+        return fc
+
+    for name in ("simple", "complex", "with-hole"):
+        with open(os.path.join(REFERENCE_TEST_DIR, "in", f"{name}.json")) as fh:
+            feature = json.load(fh)
+        with open(os.path.join(REFERENCE_TEST_DIR, "out", f"{name}.json")) as fh:
+            golden = json.load(fh)
+        assert colorize(simplepolygon(feature)) == golden, name
+
+
+def test_simplepolygon_drop_in_error_parity():
+    import pytest as _pytest
+
+    from simplepolygon_spark.decompose import DecomposeError, simplepolygon
+
+    with _pytest.raises(DecomposeError, match="type Feature"):
+        simplepolygon({"type": "FeatureCollection"})
+    with _pytest.raises(DecomposeError, match="non-empty geometry"):
+        simplepolygon({"type": "Feature", "geometry": None})
+    with _pytest.raises(DecomposeError, match="geojson Polygon"):
+        simplepolygon(
+            {"type": "Feature", "geometry": {"type": "Point", "coordinates": [0, 0]}}
+        )
