@@ -17,3 +17,5 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from .decompose import DecomposeError, decompose, simplepolygon  # noqa: E402,F401
