@@ -84,6 +84,15 @@ def main() -> None:
     # fresh plan per repeat — a persisted DF would make repeat 2 a
     # cache read, not a decomposition
     timed("decompose", lambda: decompose_polygons(fp).count())
+    # sustained throughput: the 9216-polygon run above is dominated by
+    # the ~0.5-1s local-mode job floor (marginal rate measured 5-7x the
+    # small-run headline) — size a second run to amortize it, and take
+    # polygons/sec from THAT
+    fp_big_dir = os.path.join(tempfile.gettempdir(), "bench_footprints_big")
+    footprints_df(spark, grid=384).write.mode("overwrite").parquet(fp_big_dir)
+    fp_big = spark.read.parquet(fp_big_dir)
+    n_polygons_big = fp_big.count()
+    timed("decompose_sustained", lambda: decompose_polygons(fp_big).count())
     # the join index uses a smaller grid (the dim side stays broadcastable)
     rings_df8 = decompose_polygons(footprints_df(spark, grid=8)).persist()
     rings_df8.count()
@@ -150,7 +159,10 @@ def main() -> None:
                 "images": n_images,
                 "assignments": n_assign,
                 "images_per_sec": round(n_images / join_secs, 1) if join_secs else None,
-                "polygons_per_sec": round(n_polygons / timings["decompose"], 1),
+                "polygons_per_sec": round(
+                    n_polygons_big / timings["decompose_sustained"], 1
+                ),
+                "polygons_small_run": n_polygons,
                 "cpus": cpus,
             }
         )

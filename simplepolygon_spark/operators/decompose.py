@@ -74,7 +74,12 @@ def _decompose_batches(
         }
         for pid, rings in zip(pdf["polygon_id"], pdf["rings"]):
             try:
-                feats = decompose([list(map(list, r)) for r in rings])
+                # rings arrive as numpy object arrays; decompose()'s own
+                # normalization ([[float(x), float(y)] ...]) consumes the
+                # per-ring arrays directly — only the outer container is
+                # (shallow-)listed; a deep listify here would be a
+                # redundant full copy of every coordinate
+                feats = decompose(list(rings))
             except DecomposeError:
                 if on_error == "raise":
                     raise
