@@ -116,19 +116,19 @@ def _segments_intersect_box(ring: np.ndarray, lon0, lat0, lon1, lat1) -> bool:
     if not m.any():
         return False
     x1, y1, x2, y2 = x1[m], y1[m], x2[m], y2[m]
-    # exact segment-box test: the segment's line must separate no box
-    # corners on strictly one side, else it crosses the box
+    # exact segment-box test: the segment's line must leave all four box
+    # corners strictly on one side, else it crosses/touches the box.  A
+    # corner exactly ON the line (cross product 0) makes both all>0 and
+    # all<0 false, so the touch case needs no separate accumulator.
     dx, dy = x2 - x1, y2 - y1
-    s = np.zeros(len(x1), dtype=bool)
-    for cx, cy in ((lon0, lat0), (lon0, lat1), (lon1, lat0), (lon1, lat1)):
-        s_i = dx * (cy - y1) - dy * (cx - x1)
-        s |= s_i == 0
-    # corner side signs
-    sides = [np.sign(dx * (cy - y1) - dy * (cx - x1)) for cx, cy in
-             ((lon0, lat0), (lon0, lat1), (lon1, lat0), (lon1, lat1))]
-    sides = np.stack(sides)
+    sides = np.stack(
+        [
+            dx * (cy - y1) - dy * (cx - x1)
+            for cx, cy in ((lon0, lat0), (lon0, lat1), (lon1, lat0), (lon1, lat1))
+        ]
+    )
     crosses = ~(np.all(sides > 0, axis=0) | np.all(sides < 0, axis=0))
-    return bool(np.any(crosses | s))
+    return bool(np.any(crosses))
 
 
 def cover_ring(

@@ -124,6 +124,31 @@ def crosswalk(
 # ---------------------------------------------------------------------------
 
 
+def bucketed_cover_spans(
+    covers: DataFrame, bucket_level: int, max_level: int
+) -> DataFrame:
+    """covers(lo, hi, …) → one row per coarse bucket the interval spans
+    (bucket = level-``bucket_level`` Morton prefix).  The shared
+    dim-side shape of BOTH relational spatial joins
+    (``crosswalk_relational`` here and ``tiling.pip_join_relational``):
+    the fact side maps each cell to exactly ONE bucket, an interval
+    expands to its contiguous bucket range — every qualifying pair
+    meets in exactly one bucket, so the classic grid-join duplication
+    cannot occur."""
+    from pyspark.sql import functions as F
+
+    shift_b = 2 * (max_level - bucket_level)
+    return covers.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.col("lo"), shift_b),
+                F.shiftright(F.col("hi"), shift_b),
+            )
+        ),
+    )
+
+
 def covers_df(rings_out: DataFrame, cover_level: int = 8, max_level: int = 16) -> DataFrame:
     """(polygon_id, ring_index, lo, hi, full) — the ring cover as a
     DataFrame, computed on the executors and NEVER collected.  The
@@ -269,24 +294,13 @@ def crosswalk_relational(
     from pyspark.sql import functions as F
 
     shift_cell = 2 * (max_level - level)
-    shift_b = 2 * (max_level - bucket_level)
 
     cells = tile_cells_df(images, level, id_col).withColumn(
         "bucket", F.shiftright(F.col("cell_id"), 2 * (level - bucket_level))
     )
-    iv = (
-        covers_df(rings_out, cover_level, max_level)
-        .withColumn(
-            "bucket",
-            F.explode(
-                F.sequence(
-                    F.shiftright(F.col("lo"), shift_b),
-                    F.shiftright(F.col("hi"), shift_b),
-                )
-            ),
-        )
-        .select("bucket", "lo", "hi", "polygon_id", "ring_index")
-    )
+    iv = bucketed_cover_spans(
+        covers_df(rings_out, cover_level, max_level), bucket_level, max_level
+    ).select("bucket", "lo", "hi", "polygon_id", "ring_index")
     cell_lo = F.shiftleft(F.col("cell_id"), shift_cell)
     cell_hi = F.shiftleft(F.col("cell_id") + 1, shift_cell) - 1
     joined = cells.join(

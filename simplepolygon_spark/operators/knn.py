@@ -61,29 +61,36 @@ def knn_join(
             lat = batch.column(lat_col).to_numpy(zero_copy_only=False).astype(np.float64)
             if len(ids) == 0:
                 continue
-            d2 = (lon[:, None] - cents_r[None, :, 0]) ** 2 + (
-                lat[:, None] - cents_r[None, :, 1]
-            ) ** 2
+            dx = lon[:, None] - cents_r[None, :, 0]
+            dy = lat[:, None] - cents_r[None, :, 1]
+            # order by the EMITTED metric sqrt(dx*dx + dy*dy), not the
+            # squared distance: sqrt collapses some adjacent doubles, so
+            # two d2 values at the k boundary can share one dist — the
+            # window/SQL oracle then tie-breaks on ring id while a
+            # d2-ordered kernel would keep the d2 order.  Same explicit
+            # x*x (never pow) everywhere, so all three forms (kernel,
+            # window, DuckDB) compare identical doubles.
+            d = np.sqrt(dx * dx + dy * dy)
             if R <= 256:
-                order = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+                order = np.argsort(d, axis=1, kind="stable")[:, :kk]
             else:
                 # hot path: O(B·R) argpartition + O(B·k log k) candidate
                 # sort; rows whose k-boundary distance ties candidates
                 # OUTSIDE the partition (rare) fall back to the exact
                 # full sort so ties never resolve arbitrarily
-                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
                 part_sorted = np.sort(part, axis=1)  # ascending rank order
-                cd2 = np.take_along_axis(d2, part_sorted, axis=1)
-                ord2 = np.argsort(cd2, axis=1, kind="stable")
+                cd = np.take_along_axis(d, part_sorted, axis=1)
+                ord2 = np.argsort(cd, axis=1, kind="stable")
                 order = np.take_along_axis(part_sorted, ord2, axis=1)
-                thresh = cd2.max(axis=1)
-                spill = (d2 <= thresh[:, None]).sum(axis=1) > kk
+                thresh = cd.max(axis=1)
+                spill = (d <= thresh[:, None]).sum(axis=1) > kk
                 if spill.any():
                     order[spill] = np.argsort(
-                        d2[spill], axis=1, kind="stable"
+                        d[spill], axis=1, kind="stable"
                     )[:, :kk]
             sel = rank_order[order]
-            seld = np.take_along_axis(d2, order, axis=1)
+            seld = np.take_along_axis(d, order, axis=1)
             out_id = np.repeat(ids, kk)
             out_ring = sel.ravel()
             yield pa.RecordBatch.from_arrays(
@@ -93,7 +100,7 @@ def knn_join(
                     pa.array(
                         np.array([keys[r][1] for r in out_ring], np.int32), pa.int32()
                     ),
-                    pa.array(np.sqrt(seld.ravel())),
+                    pa.array(seld.ravel()),
                     pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32), len(ids)), pa.int32()),
                 ],
                 names=[id_col, "polygon_id", "ring_index", "dist", "rank"],
@@ -112,12 +119,13 @@ def knn_join_window(
     rank with a window.  ``centroids``: (polygon_id, ring_index, cx, cy).
     Same output contract as ``knn_join`` — used as its oracle."""
     j = points.crossJoin(F.broadcast(centroids))
-    d = j.withColumn(
-        "dist",
-        F.sqrt(
-            (F.col("lon") - F.col("cx")) ** 2 + (F.col("lat") - F.col("cy")) ** 2
-        ),
-    )
+    dx = F.col("lon") - F.col("cx")
+    dy = F.col("lat") - F.col("cy")
+    # explicit x*x, never pow(): Math.pow(x, 2.0) is only 1-ulp-accurate,
+    # while multiplication is exact — keeps all three formulations
+    # (Arrow kernel, this window form, the DuckDB oracle) on identical
+    # doubles so tie-breaks can never diverge at the k boundary
+    d = j.withColumn("dist", F.sqrt(dx * dx + dy * dy))
     w = Window.partitionBy(id_col).orderBy("dist", "polygon_id", "ring_index")
     return (
         d.withColumn("rank", F.row_number().over(w))

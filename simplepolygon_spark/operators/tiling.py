@@ -81,34 +81,6 @@ class IntervalIndex:
         iv = self.seg_ids[np.repeat(start, cnt) + offs]
         return pt_idx, self.iv_ring[iv], self.iv_full[iv]
 
-    def overlap(self, qlo: np.ndarray, qhi: np.ndarray):
-        """Vectorized interval-overlap query: for each [qlo, qhi] Morton
-        range, the ring ids whose cover overlaps it.  Returns
-        (query_idx, ring_id) pairs (deduplicated per query).
-
-        Exploits the CSR layout: the union of active sets over the
-        elementary segments intersecting the query range is one
-        contiguous ``seg_ids`` slice + unique."""
-        if len(self.bp) == 0:
-            z = np.zeros(0, dtype=np.int64)
-            return z, z
-        qlo = np.asarray(qlo, np.int64)
-        qhi = np.asarray(qhi, np.int64)
-        k0 = np.maximum(np.searchsorted(self.bp, qlo, side="right") - 1, 0)
-        k1 = np.searchsorted(self.bp, qhi, side="right") - 1
-        out_q, out_r = [], []
-        for qi in np.nonzero(k1 >= 0)[0]:
-            a = self.seg_ptr[k0[qi]]
-            b = self.seg_ptr[k1[qi] + 1]
-            if b > a:
-                rings = np.unique(self.iv_ring[np.unique(self.seg_ids[a:b])])
-                out_q.append(np.full(len(rings), qi, dtype=np.int64))
-                out_r.append(rings)
-        if not out_q:
-            z = np.zeros(0, dtype=np.int64)
-            return z, z
-        return np.concatenate(out_q), np.concatenate(out_r)
-
     def overlap_batch(self, qlo: np.ndarray, qhi: np.ndarray):
         """Fully vectorized interval-overlap for many query ranges at
         once: one CSR gather over all queries (np.repeat offsets), then
@@ -304,6 +276,19 @@ def pip_join(
             ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
             lon = tbl.column(lon_col).to_numpy(zero_copy_only=False).astype(np.float64)
             lat = tbl.column(lat_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            # invalid coordinates (NaN/inf or outside the lon/lat world
+            # window) must never match: the cell computation CLIPS onto
+            # boundary cells, so a lon=190 point would otherwise land in
+            # the easternmost column and be FULL-cell-accepted with no
+            # geometry check, while the same point in a PARTIAL cell is
+            # rejected — an accept/reject inconsistency on bad data
+            ok = (
+                np.isfinite(lon) & np.isfinite(lat)
+                & (lon >= -180.0) & (lon <= 180.0)
+                & (lat >= -90.0) & (lat <= 90.0)
+            )
+            if not ok.all():
+                ids, lon, lat = ids[ok], lon[ok], lat[ok]
             pt_idx, ring_id, full = idx.lookup(lon, lat)
             pt_idx, ring_id = idx.refine(lon, lat, pt_idx, ring_id, full)
             if len(pt_idx) == 0:
@@ -379,28 +364,27 @@ def pip_join_relational(
     from pyspark.sql import functions as F
 
     from ..functions.cells_sql import cell_sql_expr
-    from .crosswalk import covers_df
+    from .crosswalk import bucketed_cover_spans, covers_df
 
     shift_b = 2 * (max_level - bucket_level)
-    pts = points.select(
+    # same invalid-coordinate rejection as pip_join's kernel: the cell
+    # expression clips, so out-of-window/NaN points would otherwise be
+    # FULL-cell-accepted on boundary cells (pushed-down filter — prunes
+    # before the cell math)
+    valid = (
+        ~F.isnan(F.col(lon_col)) & ~F.isnan(F.col(lat_col))
+        & (F.col(lon_col) >= -180.0) & (F.col(lon_col) <= 180.0)
+        & (F.col(lat_col) >= -90.0) & (F.col(lat_col) <= 90.0)
+    )
+    pts = points.where(valid).select(
         id_col,
         lon_col,
         lat_col,
         F.expr(cell_sql_expr(lon_col, lat_col, max_level)).alias("cell"),
     ).withColumn("bucket", F.shiftright(F.col("cell"), shift_b))
-    cov = (
-        covers_df(rings_out, cover_level, max_level)
-        .withColumn(
-            "bucket",
-            F.explode(
-                F.sequence(
-                    F.shiftright(F.col("lo"), shift_b),
-                    F.shiftright(F.col("hi"), shift_b),
-                )
-            ),
-        )
-        .select("bucket", "lo", "hi", "full", "polygon_id", "ring_index")
-    )
+    cov = bucketed_cover_spans(
+        covers_df(rings_out, cover_level, max_level), bucket_level, max_level
+    ).select("bucket", "lo", "hi", "full", "polygon_id", "ring_index")
     cand = pts.join(
         cov,
         (pts.bucket == cov.bucket)
@@ -425,13 +409,18 @@ def pip_join_relational(
         "left",
     ).select(id_col, lon_col, lat_col, "full", "polygon_id", "ring_index", "coords")
 
+    # output columns are ALWAYS named lon/lat, matching pip_join's
+    # hardcoded output schema — the two paths are drop-in replacements
+    # for each other, so custom lon_col/lat_col input names must not
+    # leak into the output contract
     out_schema = (
-        f"{id_col} string, {lon_col} double, {lat_col} double, "
+        f"{id_col} string, lon double, lat double, "
         "polygon_id string, ring_index int"
     )
 
     def refine(batches):
         cols = [id_col, lon_col, lat_col, "polygon_id", "ring_index"]
+        renames = {lon_col: "lon", lat_col: "lat"}
         for pdf in batches:
             keep_parts = []
             fullm = pdf["full"] == 1
@@ -453,6 +442,7 @@ def pip_join_relational(
                     keep_parts.append(grp.loc[inside, cols])
             if keep_parts:
                 out = pd.concat(keep_parts, ignore_index=True)
+                out = out.rename(columns=renames)
                 out["ring_index"] = out["ring_index"].astype("int32")
                 yield out
 

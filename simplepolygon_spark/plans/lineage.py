@@ -113,6 +113,31 @@ def write_with_lineage(
     if not part_ids:
         return  # nothing processed this run — no data, no lineage rows
 
+    # a run_id must be unique per invocation: the orphan-invisibility
+    # argument (crash between data and lineage writes leaves files that
+    # never surface) breaks if a later run APPENDS under the same
+    # (part_id, run_id) and then commits both copies.  Reject the common
+    # mistake — an id already committed to the lineage log.  (An id that
+    # only orphan data files carry is undetectable without listing the
+    # data dir; callers resuming a crashed run must use a fresh id, as
+    # run_pipeline's uuid default does.)
+    from pyspark.errors import AnalysisException
+
+    try:
+        dup = (
+            spark.read.parquet(lin_path)
+            .where(F.col("run_id") == run_id)
+            .limit(1)
+            .count()
+        )
+    except AnalysisException:
+        dup = 0  # no lineage log yet; other errors propagate
+    if dup:
+        raise ValueError(
+            f"run_id {run_id!r} already committed under {lin_path}; "
+            "lineage requires a fresh run_id per invocation"
+        )
+
     cols = [c for c in result.columns if c != "part_id"]
     row_hash = F.xxhash64(*[F.col(c) for c in cols])
     byte_len = sum(

@@ -18,6 +18,8 @@ partial aggregation and AQE skew handling (both also on).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,28 +52,44 @@ def run_pipeline(
     images: DataFrame,
     index_bc,
     out_dir: str,
-    run_id: str = "run0",
+    run_id: str | None = None,
     num_parts: int = 64,
     fail_after_parts: int | None = None,
 ) -> DataFrame:
     """Resumable flagship run; returns the assignments DataFrame of the
     parts processed in *this* invocation.
 
+    ``run_id`` defaults to a fresh uuid per invocation — the lineage
+    commit-point argument (orphan data files from a crashed run stay
+    invisible because their (part_id, run_id) never gets a lineage row)
+    silently REQUIRES per-invocation-unique ids: resuming a crashed run
+    under its old id would append a second copy into the same data
+    partition and then commit both.  ``write_with_lineage`` additionally
+    rejects a run_id that already appears in the lineage log.
+
     ``fail_after_parts`` (tests only) truncates the run to the first K
     remaining logical partitions — simulating executor/job loss so the
     kill/resume test can assert exact-resume equality.
     """
+    if run_id is None:
+        run_id = uuid.uuid4().hex[:12]
     imgs = with_part_id(images, "image_id", num_parts)
     todo = remaining(imgs, spark, out_dir)
+    # one scan collects the todo part-id list; passing the raw
+    # todo.select() into write_with_lineage would re-execute the whole
+    # input pipeline a second time just to enumerate ids
+    todo_ids = sorted(
+        r.part_id for r in todo.select("part_id").distinct().collect()
+    )
     if fail_after_parts is not None:
-        keep = [
-            r.part_id
-            for r in todo.select("part_id").distinct().orderBy("part_id").limit(fail_after_parts).collect()
-        ]
-        todo = todo.filter(F.col("part_id").isin(keep))
+        todo_ids = todo_ids[:fail_after_parts]
+        todo = todo.filter(F.col("part_id").isin(todo_ids))
 
     # part_id is a pure function of image_id — recompute on the output
     # instead of joining it back (saves a full shuffle join)
     asg = with_part_id(pip_join(todo, index_bc), "image_id", num_parts)
-    write_with_lineage(asg, out_dir, run_id, todo.select("part_id"))
+    part_ids_df = spark.createDataFrame(
+        [(int(p),) for p in todo_ids], "part_id int"
+    )
+    write_with_lineage(asg, out_dir, run_id, part_ids_df)
     return asg

@@ -109,10 +109,14 @@ def quantize(px: np.ndarray, bits: int = 2) -> np.ndarray:
     return px & np.uint8(0xFF << bits)
 
 
+def image_shape_fmt(i: int) -> tuple[int, int, str]:
+    """(w, h, fmt) schedule — the ONE definition, shared by the
+    bytes-encoding and metadata-only paths so they can never disagree."""
+    return _WIDTHS[i % 3], _HEIGHTS[i % 3], (_FMTS[i % 2] if i % 5 else "qnt")
+
+
 def encode_image(i: int) -> tuple:
-    w = _WIDTHS[i % 3]
-    h = _HEIGHTS[i % 3]
-    fmt = _FMTS[i % 2] if i % 5 else "qnt"
+    w, h, fmt = image_shape_fmt(i)
     px = pixels_of(i, w, h)
     header = MAGIC + np.int32(w).tobytes() + np.int32(h).tobytes()
     if fmt == "raw":
@@ -208,7 +212,7 @@ def images_df(
                     data, w, h, fmt = encode_image(i)
                 else:
                     data = b""
-                    w, h, fmt = _WIDTHS[i % 3], _HEIGHTS[i % 3], (_FMTS[i % 2] if i % 5 else "qnt")
+                    w, h, fmt = image_shape_fmt(i)
                 cols["image_id"].append(m["image_id"])
                 cols["bytes"].append(data)
                 cols["w"].append(w)

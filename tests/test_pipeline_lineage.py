@@ -181,3 +181,43 @@ def test_lineage_observe_metrics_agree_with_disk_audit(spark, tmp_path):
     lb = sorted(tuple(r[k] for k in key) for r in spark.read.parquet(out_b + "/_lineage").collect())
     assert la == lb and len(la) == 8
     assert sum(r[1] for r in la) == asg.count()
+
+
+def test_duplicate_run_id_rejected_and_default_ids_resume_safely(spark, tmp_path):
+    """Round-3: the lineage commit-point argument requires a fresh
+    run_id per invocation.  (a) Reusing a COMMITTED id raises; (b) the
+    crash-then-resume flow with DEFAULT (auto-uuid) ids produces exactly
+    the clean-run output — the failure mode the old reusable 'run0'
+    default permitted (orphans + re-run committed under one id,
+    duplicating rows)."""
+    from simplepolygon_spark.operators.tiling import pip_join
+    from simplepolygon_spark.plans.lineage import (
+        DATA_SUBDIR,
+        read_result,
+        with_part_id,
+        write_with_lineage,
+    )
+
+    bc = _setup(spark)
+    imgs = images_df(spark, 1000, partitions=4, with_bytes=False)
+
+    out = str(tmp_path / "dup_id")
+    run_pipeline(spark, imgs, bc, out, run_id="once", num_parts=8)
+    import pytest as _pytest
+
+    asg = with_part_id(pip_join(imgs, bc), "image_id", 8)
+    with _pytest.raises(ValueError, match="already committed"):
+        write_with_lineage(asg, out, "once", asg.select("part_id"))
+
+    # crash under an auto id, resume under another auto id
+    clean_dir = str(tmp_path / "clean2")
+    run_pipeline(spark, imgs, bc, clean_dir, num_parts=8)  # default id
+    crash_dir = str(tmp_path / "crash2")
+    orphan = asg.filter(F.col("part_id") < 3).withColumn("run_id", F.lit("autodead"))
+    orphan.write.mode("append").partitionBy("part_id", "run_id").parquet(
+        f"{crash_dir}/{DATA_SUBDIR}"
+    )
+    run_pipeline(spark, imgs, bc, crash_dir, num_parts=8)  # default id
+    a = sorted(tuple(r) for r in read_result(spark, crash_dir).collect())
+    b = sorted(tuple(r) for r in read_result(spark, clean_dir).collect())
+    assert a == b and len(a) > 0

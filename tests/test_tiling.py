@@ -112,3 +112,60 @@ def test_pip_join_relational_equals_broadcast(spark):
     assert len(a) > 0
     plan = rel._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_invalid_coordinates_never_match(spark):
+    """Out-of-window (lon=190) and NaN points must produce ZERO
+    assignments in BOTH pip paths: the cell math clips onto boundary
+    cells, so without explicit rejection such a point could land in a
+    FULL cell and be accepted with no geometry check — while the same
+    point in a PARTIAL cell is rejected (inconsistent accept/reject on
+    bad data)."""
+    import math
+
+    from simplepolygon_spark.operators.decompose import decompose_polygons
+    from simplepolygon_spark.operators.tiling import (
+        broadcast_index,
+        build_interval_index,
+        pip_join,
+        pip_join_relational,
+    )
+    from simplepolygon_spark.sources.footprints import footprints_df
+
+    rings = decompose_polygons(footprints_df(spark, grid=3))
+    bc = broadcast_index(spark, build_interval_index(rings, cover_level=8))
+    # a valid in-ring point (grid cell centers carry footprints) plus
+    # invalid ones
+    valid_hits = pip_join(
+        spark.createDataFrame(
+            [("ok", -113.3, -53.3)], "image_id string, lon double, lat double"
+        ),
+        bc,
+    ).count()
+    bad = spark.createDataFrame(
+        [
+            ("lon_hi", 190.0, -53.3),
+            ("lon_lo", -190.0, -53.3),
+            ("lat_hi", -113.3, 95.0),
+            ("nan", math.nan, -53.3),
+        ],
+        "image_id string, lon double, lat double",
+    )
+    assert pip_join(bad, bc).count() == 0
+    assert pip_join_relational(bad, rings, cover_level=8).count() == 0
+    assert valid_hits >= 1  # the rejection is not just dropping everything
+
+
+def test_pip_join_relational_output_names_with_custom_cols(spark):
+    """Custom lon_col/lat_col input names must not leak into the output:
+    both paths emit lon/lat (drop-in replacements for each other)."""
+    from simplepolygon_spark.operators.decompose import decompose_polygons
+    from simplepolygon_spark.operators.tiling import pip_join_relational
+    from simplepolygon_spark.sources.footprints import footprints_df
+
+    rings = decompose_polygons(footprints_df(spark, grid=3))
+    pts = spark.createDataFrame(
+        [("a", -113.3, -53.3)], "image_id string, x double, y double"
+    )
+    out = pip_join_relational(pts, rings, cover_level=8, lon_col="x", lat_col="y")
+    assert out.columns == ["image_id", "lon", "lat", "polygon_id", "ring_index"]
