@@ -68,8 +68,14 @@ def decompose(rings: list) -> list[dict[str, Any]]:
     simple output ring.  ``index`` is None on the zero-intersection fast
     path (quirk Q3).
     """
-    if not isinstance(rings, (list, tuple)) or len(rings) == 0:
+    if not isinstance(rings, (list, tuple)):
         raise DecomposeError("The input must a geojson object with a non-empty geometry")
+    if len(rings) == 0:
+        # parity: the reference's non-empty-geometry error fires only for
+        # geometry === null/undefined (src/index.ts:45-46); coordinates=[]
+        # sails through (numRings=0, no vertices, zero intersections) and
+        # the fast path returns an empty FeatureCollection (:116-134)
+        return []
 
     # --- normalize: close rings (pure copy), collect vertices -----------
     closed: list[list[list[float]]] = []
@@ -93,7 +99,11 @@ def decompose(rings: list) -> list[dict[str, Any]]:
             r.append([r[0][0], r[0][1]])
         closed.append(r)
         vertices.extend(r[:-1])
-    if len(vertices) != len({_coord_key(v) for v in vertices}):
+    # dedup key is the JS string `${x},${y}` exactly as the reference
+    # builds it (src/index.ts:60-63) — NOT a numeric tuple: string keys
+    # make NaN,NaN compare equal (a numeric NaN never equals itself, so
+    # a tuple-set would silently admit rings with repeated NaN vertices)
+    if len(vertices) != len({_js_coord_string(v) for v in vertices}):
         raise DecomposeError(
             "The input polygon may not have duplicate vertices "
             "(except for the first and last vertex of each ring)"
@@ -371,10 +381,16 @@ def simplepolygon(feature: dict) -> dict:
         raise DecomposeError(
             "The input must a geojson object with a non-empty geometry"
         )
-    if geom.get("type") != "Polygon":
+    if not isinstance(geom, dict) or geom.get("type") != "Polygon":
+        # a non-dict geometry (e.g. the string "Polygon") matches the
+        # reference here too: `feature.geometry.type` is undefined, so
+        # its type check throws this same error (src/index.ts:47-48)
         raise DecomposeError("The input must be a geojson Polygon")
+    # missing "coordinates" reaches decompose() as None and raises a
+    # typed DecomposeError (the reference crashes with a TypeError on
+    # `.coordinates.length`; a typed error keeps on_error='skip' working)
     out = []
-    for f in decompose(geom["coordinates"]):
+    for f in decompose(geom.get("coordinates")):
         props: dict[str, Any] = {}
         if f["index"] is not None:
             props["index"] = f["index"]

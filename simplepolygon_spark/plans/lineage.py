@@ -35,10 +35,16 @@ def with_part_id(df: DataFrame, id_col: str, num_parts: int) -> DataFrame:
 
 
 def done_part_ids(spark: SparkSession, out_dir: str) -> set[int]:
+    from pyspark.errors import AnalysisException
+
     path = os.path.join(out_dir, LINEAGE_SUBDIR)
     try:
         rows = spark.read.parquet(path).select("part_id").distinct().collect()
-    except Exception:
+    except AnalysisException:
+        # no lineage log yet = nothing done; any OTHER failure (corrupt
+        # files, transient storage errors) must propagate — silently
+        # reporting an empty done-set would re-run committed parts and
+        # duplicate their rows on read
         return set()
     return {r.part_id for r in rows}
 
@@ -51,19 +57,29 @@ def remaining(df_with_part: DataFrame, spark: SparkSession, out_dir: str) -> Dat
     return df_with_part.filter(~F.col("part_id").isin(sorted(done)))
 
 
-def lineage_metrics(result: DataFrame, run_id: str) -> DataFrame:
-    """Per-part metric rows from a result that carries ``part_id``.
-
-    n_bytes: sum of the approximate row payload (length of all string
-    columns + 8 per numeric) — a cheap, deterministic byte metric.
-    checksum: bit_xor of xxhash64 over all non-part columns — order-insensitive and overflow-free under ANSI mode.
-    """
-    cols = [c for c in result.columns if c != "part_id"]
+def _metric_exprs(cols: list[str]):
+    """The (row_hash, byte_len) metric definitions — ONE source of truth
+    shared by the write-side Observation and the read-back audit; any
+    drift between the two would turn ``audit_readback`` into false
+    failures (or false passes)."""
     row_hash = F.xxhash64(*[F.col(c) for c in cols])
     byte_len = sum(
         (F.length(F.col(c).cast("string")).cast("long") for c in cols),
         F.lit(0).cast("long"),
     )
+    return row_hash, byte_len
+
+
+def lineage_metrics(result: DataFrame, run_id: str) -> DataFrame:
+    """Per-part metric rows from a result that carries ``part_id``.
+
+    n_bytes: sum over non-part columns of the length of each value cast
+    to string — a cheap, deterministic byte metric (numerics count their
+    decimal rendering, not their width).
+    checksum: bit_xor of xxhash64 over all non-part columns — order-insensitive and overflow-free under ANSI mode.
+    """
+    cols = [c for c in result.columns if c != "part_id"]
+    row_hash, byte_len = _metric_exprs(cols)
     return result.groupBy("part_id").agg(
         F.lit(run_id).alias("run_id"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -76,14 +92,17 @@ def write_with_lineage(
     result: DataFrame,
     out_dir: str,
     run_id: str,
-    all_part_ids: DataFrame,
+    all_part_ids,
     audit_readback: bool = False,
 ) -> None:
     """Write result data partitioned by part_id + append lineage rows.
 
-    ``all_part_ids``: single-column DF of every part_id processed in
-    this run (parts may legitimately produce zero result rows — they
-    still must be marked done or resume would re-run them forever).
+    ``all_part_ids``: every part_id processed in this run (parts may
+    legitimately produce zero result rows — they still must be marked
+    done or resume would re-run them forever).  Either a single-column
+    DataFrame or a plain iterable of ints; callers that already hold the
+    list on the driver (run_pipeline does) pass it directly — no
+    createDataFrame → distinct → collect round trip.
 
     The lineage write is the SOLE commit point: data rows are tagged
     with ``run_id`` and ``read_result`` only surfaces (part_id, run_id)
@@ -107,9 +126,13 @@ def write_with_lineage(
     data_path = os.path.join(out_dir, DATA_SUBDIR)
     lin_path = os.path.join(out_dir, LINEAGE_SUBDIR)
     spark = result.sparkSession
-    part_ids = sorted(
-        r.part_id for r in all_part_ids.select(F.col("part_id").cast("int")).distinct().collect()
-    )
+    if isinstance(all_part_ids, DataFrame):
+        part_ids = sorted(
+            r.part_id
+            for r in all_part_ids.select(F.col("part_id").cast("int")).distinct().collect()
+        )
+    else:
+        part_ids = sorted({int(p) for p in all_part_ids})
     if not part_ids:
         return  # nothing processed this run — no data, no lineage rows
 
@@ -139,11 +162,7 @@ def write_with_lineage(
         )
 
     cols = [c for c in result.columns if c != "part_id"]
-    row_hash = F.xxhash64(*[F.col(c) for c in cols])
-    byte_len = sum(
-        (F.length(F.col(c).cast("string")).cast("long") for c in cols),
-        F.lit(0).cast("long"),
-    )
+    row_hash, byte_len = _metric_exprs(cols)
     obs = Observation(f"lineage-{run_id}")
     obs_cols = []
     for k in part_ids:

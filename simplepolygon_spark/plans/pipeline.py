@@ -88,8 +88,5 @@ def run_pipeline(
     # part_id is a pure function of image_id — recompute on the output
     # instead of joining it back (saves a full shuffle join)
     asg = with_part_id(pip_join(todo, index_bc), "image_id", num_parts)
-    part_ids_df = spark.createDataFrame(
-        [(int(p),) for p in todo_ids], "part_id int"
-    )
-    write_with_lineage(asg, out_dir, run_id, part_ids_df)
+    write_with_lineage(asg, out_dir, run_id, todo_ids)
     return asg

@@ -85,7 +85,7 @@ def slice_segment(data: bytes, start_sample: int, n: int) -> bytes:
     arithmetic — fixed-width PCM means O(1) seek and bytes outside the
     segment are never read (the video frame_to_spim analogue)."""
     sr, total, off = audio_header(data)
-    if not (0 <= start_sample and start_sample + n <= total):
+    if not (0 <= start_sample and 0 <= n and start_sample + n <= total):
         raise IndexError(f"segment [{start_sample}, {start_sample + n}) of {total}")
     seg = data[off + 2 * start_sample : off + 2 * (start_sample + n)]
     return AUDIO_MAGIC + np.int32(sr).tobytes() + np.int32(n).tobytes() + seg

@@ -99,6 +99,8 @@ def frame_to_spim(data: bytes, frame_idx: int, w: int, h: int) -> bytes:
     WITHOUT decoding it — pure byte slicing, so sampling is O(sampled
     frames) decode work and O(1) per skipped frame."""
     _, _, n, table, off = video_header(data)
+    if not (0 <= frame_idx < n):
+        raise IndexError(f"frame {frame_idx} of {n}")
     start = off + int(table[:frame_idx].sum())
     payload = data[start : start + int(table[frame_idx])]
     return IMG_MAGIC + np.int32(w).tobytes() + np.int32(h).tobytes() + payload

@@ -29,11 +29,15 @@ def read_image_feed(spark: SparkSession, path: str, with_ts: bool = True) -> Dat
     if with_ts:
         # deterministic event time derived from the id (no wall clock):
         # one second per 1000 images starting 2026-01-01
+        # substr(id, 4) with NO length bound: image_id is img{i:09d},
+        # which widens past 9 digits at i >= 10^9 — a fixed-width
+        # substring would silently collapse distinct rows onto the same
+        # event time at the 10^12-row scale the images table simulates
         st = st.withColumn(
             "ts",
             F.timestamp_seconds(
                 F.lit(1767225600)
-                + (F.substring("image_id", 4, 9).cast("long") / 1000).cast("long")
+                + (F.expr("substr(image_id, 4)").cast("long") / 1000).cast("long")
             ),
         )
     return st

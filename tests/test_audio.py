@@ -37,6 +37,9 @@ def test_slice_segment_never_reads_outside():
     assert (pcm == clip_samples(9, 4000, 8000)[start : start + n]).all()
     with pytest.raises(IndexError):
         slice_segment(bytes(data), 3900, 500)  # past the end
+    with pytest.raises(IndexError):
+        slice_segment(bytes(data), 5, -3)  # negative length: would emit
+        # a SAUD header claiming n_samples=-3 over an empty payload
 
 
 def test_unsupported_codec_raises():

@@ -100,9 +100,27 @@ def test_duplicate_vertex_error():
         decompose(dup)
 
 
-def test_empty_geometry_error():
-    with pytest.raises(DecomposeError):
-        decompose([])
+def test_empty_coordinates_returns_empty():
+    # parity: the reference's fast path returns an empty FeatureCollection
+    # for coordinates=[] — the non-empty-geometry error fires only for a
+    # null geometry (src/index.ts:45-46, 116-134)
+    assert decompose([]) == []
+    with pytest.raises(DecomposeError, match="non-empty geometry"):
+        decompose(None)
+
+
+def test_nan_duplicate_vertices_rejected_numpy_path():
+    # the dedup key is the JS coordinate string, so NaN,NaN == NaN,NaN —
+    # numeric tuple keys would let numpy-NaN rings (the exact form rows
+    # take on the Arrow path) through validation and emit garbage rings
+    import numpy as np
+
+    nan = float("nan")
+    ring = np.array([[0.0, 0.0], [2.0, 0.0], [nan, nan], [2.0, 2.0], [nan, nan]])
+    with pytest.raises(DecomposeError, match="duplicate vertices"):
+        decompose([ring.tolist()])
+    with pytest.raises(DecomposeError, match="duplicate vertices"):
+        decompose([[list(p) for p in ring]])  # numpy scalars, Arrow-style
 
 
 def test_degenerate_ring_error():
@@ -149,3 +167,16 @@ def test_simplepolygon_drop_in_error_parity():
         simplepolygon(
             {"type": "Feature", "geometry": {"type": "Point", "coordinates": [0, 0]}}
         )
+    # non-dict geometry: the reference's `.type` access yields undefined
+    # and throws the same Polygon error — ours must stay a typed
+    # DecomposeError, never an AttributeError
+    with _pytest.raises(DecomposeError, match="geojson Polygon"):
+        simplepolygon({"type": "Feature", "geometry": "Polygon"})
+    # missing coordinates: typed error, not a KeyError
+    with _pytest.raises(DecomposeError):
+        simplepolygon({"type": "Feature", "geometry": {"type": "Polygon"}})
+    # coordinates=[] is VALID per the reference fast path: empty output
+    fc = simplepolygon(
+        {"type": "Feature", "geometry": {"type": "Polygon", "coordinates": []}}
+    )
+    assert fc == {"type": "FeatureCollection", "features": []}

@@ -34,6 +34,15 @@ def test_video_container_round_trip():
     assert off + int(table.sum()) == len(data)
     for f in range(5):
         assert (decode_frame(data, f) == frame_pixels(3, f, 32, 24)).all()
+    # out-of-range and negative indices fail loudly on BOTH entry points
+    # (frame_to_spim used to slice silently and emit a corrupt SPIM)
+    from simplepolygon_spark.sources.videos import frame_to_spim
+
+    for bad in (-1, 5):
+        with pytest.raises(IndexError):
+            decode_frame(data, bad)
+        with pytest.raises(IndexError):
+            frame_to_spim(data, bad, 32, 24)
 
 
 def test_decode_frame_never_touches_skipped_frames():
