@@ -54,14 +54,13 @@ def _pip_sql(ring, x: str, y: str) -> str:
     return "((" + " + ".join(terms) + ") % 2 = 1)"
 
 
-STOPWORDS_SQL = "'the','a','of','and','to','in','is','for','on','with'"
-LANGS = {
-    "de": ("der", "und", "ist"),
-    "en": ("the", "and", "of"),
-    "es": ("el", "y", "es"),
-    "fr": ("le", "et", "est"),
-    "zh": ("de", "shi", "le"),
-}
+# derived from the operator module's lists — ONE source of truth, so an
+# edit to a stopword/marker can never leave the oracle testing a stale
+# copy (the SQL fragments below regenerate from these at import time)
+from simplepolygon_spark.operators.text import LANG_MARKERS as LANGS
+from simplepolygon_spark.operators.text import STOPWORDS as _STOPWORDS
+
+STOPWORDS_SQL = ",".join(f"'{s}'" for s in _STOPWORDS)
 
 
 def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,7 +437,7 @@ def q_quality(spark, sf_dir):
     """Quality counters (exact integers for engine-portable hashing)."""
     d = _read(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim("text")), "\\s+")
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_SQL.replace("'", "").split(",")])
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars_m"),

@@ -78,8 +78,11 @@ def _decompose_batches(
                 # normalization ([[float(x), float(y)] ...]) consumes the
                 # per-ring arrays directly — only the outer container is
                 # (shallow-)listed; a deep listify here would be a
-                # redundant full copy of every coordinate
-                feats = decompose(list(rings))
+                # redundant full copy of every coordinate.  A NULL rings
+                # cell (e.g. from_json nulled mis-shaped coordinates) is
+                # a typed DecomposeError, not a TypeError — on_error=
+                # 'skip' must be able to drop it
+                feats = decompose(None if rings is None else list(rings))
             except DecomposeError:
                 if on_error == "raise":
                     raise
@@ -107,6 +110,27 @@ def decompose_polygons(polygons: DataFrame, on_error: str = "raise") -> DataFram
     instead of failing the job — the scale-friendly default for dirty
     data is to route rejects through ``validate_polygons`` first.
     """
-    return polygons.select("polygon_id", "rings").mapInPandas(
+    from pyspark.sql import functions as F
+
+    # NULL rings must be resolved SQL-SIDE: pyspark's arrow_to_pandas
+    # segfaults the worker converting a NULL cell of this nested type,
+    # so a NULL reaching the kernel is unrecoverable regardless of
+    # on_error.  skip → filter; raise → typed message via raise_error.
+    src = polygons.select("polygon_id", "rings")
+    if on_error == "skip":
+        src = src.filter(F.col("rings").isNotNull())
+    else:
+        src = src.select(
+            "polygon_id",
+            F.when(
+                F.col("rings").isNull(),
+                F.raise_error(
+                    F.lit("The input must a geojson object with a non-empty geometry")
+                ).cast(RINGS_TYPE),
+            )
+            .otherwise(F.col("rings"))
+            .alias("rings"),
+        )
+    return src.mapInPandas(
         lambda it: _decompose_batches(it, on_error), RINGS_OUT_SCHEMA
     )

@@ -14,14 +14,12 @@ always survives into the result (no silent drops).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
-from ..sources.images import decode_image, pixels_of, psnr
+from .payload import validate_rows
 
 
 def validate_and_assign(images: DataFrame, index_bc) -> DataFrame:
@@ -43,20 +41,24 @@ def validate_and_assign(images: DataFrame, index_bc) -> DataFrame:
             if n == 0:
                 continue
 
-            ps = np.empty(n, dtype=np.float64)
-            cap_ok = np.empty(n, dtype=bool)
-            for i in range(n):
-                px = decode_image(bts[i], fmts[i])
-                orig = pixels_of(int(ids[i][3:]), px.shape[1], px.shape[0])
-                p = psnr(px, orig)
-                ps[i] = 1e9 if p == float("inf") else p
-                digest = hashlib.blake2b(ids[i].encode()).digest()
-                cap_ok[i] = caps[i] == (
-                    f"synthetic image {int(ids[i][3:])} :: {digest[:12].hex()}"
-                )
+            ps, cap_ok = validate_rows(ids, bts, fmts, caps)
 
-            pt_idx, ring_id, full = idx.lookup(lon, lat)
-            pt_idx, ring_id = idx.refine(lon, lat, pt_idx, ring_id, full)
+            # same invalid-coordinate guard as pip_join: the cell
+            # computation CLIPS onto boundary cells, so NaN/out-of-window
+            # points would land in an edge cell and be FULL-cell-accepted
+            # with no geometry check.  Invalid points are simply never
+            # assigned — they surface as the NULL-ring validity row.
+            ok = (
+                np.isfinite(lon) & np.isfinite(lat)
+                & (lon >= -180.0) & (lon <= 180.0)
+                & (lat >= -90.0) & (lat <= 90.0)
+            )
+            ok_rows = np.nonzero(ok)[0]
+            pt_idx, ring_id, full = idx.lookup(lon[ok_rows], lat[ok_rows])
+            pt_idx, ring_id = idx.refine(
+                lon[ok_rows], lat[ok_rows], pt_idx, ring_id, full
+            )
+            pt_idx = ok_rows[pt_idx]  # back to batch-row indices
 
             assigned = np.zeros(n, dtype=bool)
             assigned[pt_idx] = True

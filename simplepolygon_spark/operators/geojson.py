@@ -87,7 +87,14 @@ def decompose_geojson(
     one-ring Polygons with properties {index?, parent, winding,
     netWinding} — ``index`` omitted on the fast path (Q3).
     """
-    rings_out = decompose_polygons(parse_geojson_features(df, geojson_col, id_col))
+    parsed = parse_geojson_features(df, geojson_col, id_col)
+    # decompose_polygons' kernel schema fixes the id column name to
+    # polygon_id — rename around it so any id_col works
+    if id_col != "polygon_id":
+        parsed = parsed.withColumnRenamed(id_col, "polygon_id")
+    rings_out = decompose_polygons(parsed)
+    if id_col != "polygon_id":
+        rings_out = rings_out.withColumnRenamed("polygon_id", id_col)
 
     schema = f"{id_col} string, feature_collection string"
 

@@ -96,10 +96,10 @@ def knn_join(
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_id, pa.string()),
-                    pa.array([keys[r][0] for r in out_ring], pa.string()),
-                    pa.array(
-                        np.array([keys[r][1] for r in out_ring], np.int32), pa.int32()
-                    ),
+                    # vectorized id lookup via the index's ring_pid /
+                    # ring_ridx arrays — no per-row Python in the hot path
+                    pa.array(idx.ring_pid[out_ring], pa.string()),
+                    pa.array(idx.ring_ridx[out_ring].astype(np.int32), pa.int32()),
                     pa.array(seld.ravel()),
                     pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32), len(ids)), pa.int32()),
                 ],

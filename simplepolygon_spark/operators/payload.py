@@ -100,6 +100,27 @@ def resize_images(images: DataFrame, tw: int, th: int) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInArrow(run, schema)
 
 
+def validate_rows(ids, bts, fmts, caps):
+    """ONE definition of per-image validity — decode, PSNR vs the
+    regenerated original (inf → 1e9 sentinel for lossless), caption
+    contract — shared by ``validate_payload`` and the fused
+    validate+assign pass so the two can never drift apart.
+
+    Returns (psnr_db float64 array, caption_ok bool array)."""
+    n = len(ids)
+    ps = np.empty(n, dtype=np.float64)
+    cap_ok = np.empty(n, dtype=bool)
+    for k in range(n):
+        i = int(ids[k][3:])
+        px = decode_image(bts[k], fmts[k])
+        orig = pixels_of(i, px.shape[1], px.shape[0])
+        p = psnr(px, orig)
+        ps[k] = 1e9 if p == float("inf") else p
+        digest = hashlib.blake2b(ids[k].encode()).digest()
+        cap_ok[k] = caps[k] == f"synthetic image {i} :: {digest[:12].hex()}"
+    return ps, cap_ok
+
+
 def validate_payload(images: DataFrame) -> DataFrame:
     """Per-row fidelity vs the regenerated original: PSNR (dB; inf →
     1e9 sentinel for lossless) + caption equality (BASELINE.json:16)."""
@@ -111,22 +132,12 @@ def validate_payload(images: DataFrame) -> DataFrame:
             bts = batch.column("bytes").to_pylist()
             fmts = batch.column("fmt").to_pylist()
             caps = batch.column("caption").to_pylist()
-            o_ids, o_ps, o_cap = [], [], []
-            for iid, data, fmt, cap in zip(ids, bts, fmts, caps):
-                i = int(iid[3:])
-                px = decode_image(data, fmt)
-                orig = pixels_of(i, px.shape[1], px.shape[0])
-                p = psnr(px, orig)
-                digest = hashlib.blake2b(iid.encode()).digest()
-                expect_cap = f"synthetic image {i} :: {digest[:12].hex()}"
-                o_ids.append(iid)
-                o_ps.append(1e9 if p == float("inf") else p)
-                o_cap.append(cap == expect_cap)
+            ps, cap_ok = validate_rows(ids, bts, fmts, caps)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(o_ids, pa.string()),
-                    pa.array(o_ps, pa.float64()),
-                    pa.array(o_cap, pa.bool_()),
+                    pa.array(ids, pa.string()),
+                    pa.array(ps, pa.float64()),
+                    pa.array(cap_ok, pa.bool_()),
                 ],
                 names=["image_id", "psnr_db", "caption_ok"],
             )

@@ -24,6 +24,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _emb_matrix(arr) -> np.ndarray:
+    """list<float> Arrow column → (n, d) float64 matrix WITHOUT a
+    to_pylist() detour: flatten() honors list offsets and fixed-dim
+    embeddings make the reshape valid.  to_pylist() materializes n·d
+    Python float objects per batch — an order-of-magnitude slowdown on
+    the hot paths this module documents as the 100 TB plan."""
+    return (
+        arr.flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(len(arr), -1)
+    )
+
+
 def _norm_expr(col):
     return F.sqrt(
         F.aggregate(col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
@@ -72,9 +86,9 @@ def cosine_topk_arrow(
     def run(batches):
         for batch in batches:
             vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
             if len(vids) == 0:
                 continue
+            emb = _emb_matrix(batch.column("embedding"))
             En = emb / np.linalg.norm(emb, axis=1, keepdims=True)
             sims = En @ Qn.T  # B × Q
             kk = min(k, len(vids))
@@ -176,12 +190,7 @@ def kmeans_fit_distributed(
                 n = len(arr)
                 if n == 0:
                     continue
-                X = (
-                    arr.flatten()
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.float64)
-                    .reshape(n, -1)
-                )
+                X = _emb_matrix(arr)
                 dist = ((X[:, None, :] - C_now[None, :, :]) ** 2).sum(axis=2)
                 a = dist.argmin(axis=1)
                 cids, cnts, sums = [], [], []
@@ -234,8 +243,14 @@ def ivf_assign(corpus: DataFrame, centroids: np.ndarray) -> DataFrame:
             vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             if len(vids) == 0:
                 continue
-            emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-            d = ((emb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            emb = _emb_matrix(batch.column("embedding"))
+            # assign on sqrt(d2), the EMITTED metric of SQL oracles
+            # (list_distance): sqrt collapses some adjacent doubles, and
+            # on a collapsed tie argmin's first-min rule picks the lowest
+            # centroid id — exactly the oracle's ORDER BY dist, cid.
+            # Ordering on raw d2 would keep the true nearer centroid on
+            # such ties and diverge (same hazard knn.py documents).
+            d = np.sqrt(((emb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(vids.astype(np.int64), pa.int64()),
@@ -278,7 +293,9 @@ def ivf_topk(
     qids = sorted(queries_np)
     Q = np.stack([np.asarray(queries_np[q], np.float64) for q in qids])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    dq = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # Q × C
+    # sqrt for oracle tie parity (see ivf_assign) — probe ranking must
+    # match ORDER BY list_distance, cid when sqrt collapses two d2
+    dq = np.sqrt(((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))  # Q × C
     probe_mask = np.zeros((len(qids), len(C)), dtype=bool)
     for qi in range(len(qids)):
         probe_mask[qi, np.argsort(dq[qi], kind="stable")[:probes]] = True
@@ -291,12 +308,13 @@ def ivf_topk(
             vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             if len(vids) == 0:
                 continue
-            emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            emb = _emb_matrix(batch.column("embedding"))
             if centroid_col is not None:
                 cid = batch.column(centroid_col).to_numpy(zero_copy_only=False)
                 cid = cid.astype(np.int64)
             else:
-                d = ((emb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                # sqrt for oracle tie parity (see ivf_assign)
+                d = np.sqrt(((emb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
                 cid = d.argmin(axis=1)  # first min == lowest centroid id
             En = emb / np.linalg.norm(emb, axis=1, keepdims=True)
             sims = En @ Qn.T  # B × Q

@@ -28,11 +28,18 @@ LANG_MARKERS = {
 }
 
 
+def _null_safe_size(arr, text_col="text"):
+    """size() of a split over a NULL text must be NULL, not Spark's
+    sizeOfNull=-1 — the -1 corrupts downstream ratios and diverges from
+    SQL engines (DuckDB len(string_split(NULL)) IS NULL)."""
+    return F.when(F.col(text_col).isNotNull(), F.size(arr))
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_pieces): whitespace tokens and regex pieces."""
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim("text"), "\\s+")).alias("n_tokens"),
+        _null_safe_size(F.split(F.trim("text"), "\\s+")).alias("n_tokens"),
         F.regexp_count("text", F.lit(BPE_PATTERN)).alias("n_pieces"),
     )
 
@@ -45,8 +52,8 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     """
     toks = F.split(F.lower(F.trim("text")), "\\s+")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_tok = _null_safe_size(toks)
+    n_stop = _null_safe_size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
     n_punct = F.regexp_count("text", F.lit("[^a-zA-Z0-9\\s]"))
     n_chars = F.length("text")
     len_norm = F.least(n_chars / F.lit(500.0), F.lit(1.0))

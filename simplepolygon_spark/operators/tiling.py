@@ -141,10 +141,22 @@ def build_interval_index(
     """
     cover_rows = None
     if isinstance(rings_out, DataFrame):
-        # compute covers on the executors (one Arrow pass over the ring
-        # layer) — the driver only collects the compressed intervals
-        cover_rows = _covers_distributed(rings_out, cover_level, max_level)
-        rows = rings_out.select("polygon_id", "ring_index", "coords").collect()
+        # TWO actions read the ring layer (the distributed cover pass
+        # and the coordinate collect) — persist for their duration so an
+        # expensive upstream (e.g. a full decompose_polygons) is not
+        # executed twice for callers who did not think to cache
+        sl = rings_out.storageLevel
+        caller_cached = sl.useMemory or sl.useDisk
+        if not caller_cached:
+            rings_out = rings_out.persist()
+        try:
+            # compute covers on the executors (one Arrow pass over the
+            # ring layer) — the driver only collects compressed intervals
+            cover_rows = _covers_distributed(rings_out, cover_level, max_level)
+            rows = rings_out.select("polygon_id", "ring_index", "coords").collect()
+        finally:
+            if not caller_cached:
+                rings_out.unpersist()
     else:
         rows = rings_out
 

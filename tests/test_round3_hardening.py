@@ -438,3 +438,101 @@ def test_tile_cells_antimeridian_split(spark):
     wide = spark.createDataFrame([("t2", 10.0, 9.0, -80.0, 80.0)], schema)
     with pytest.raises(Exception, match="cells at level"):
         tile_cells_df(wide, level=12, antimeridian="split").collect()
+
+
+# ---------------------------------------------------------------------------
+# third review pass: fused coordinate guard, id_col rename, NULL-text,
+# NULL-rings skip
+# ---------------------------------------------------------------------------
+
+
+def test_fused_invalid_coordinates_never_assigned(spark):
+    """A NaN/out-of-window point must surface as the NULL-ring validity
+    row, never be clip-assigned to a boundary cell's ring (same guard as
+    pip_join)."""
+    import numpy as np
+
+    from simplepolygon_spark.operators.fused import validate_and_assign
+    from simplepolygon_spark.operators.tiling import (
+        build_interval_index,
+        broadcast_index,
+    )
+    from simplepolygon_spark.sources.images import encode_image
+
+    # one world-spanning ring: every VALID point is inside
+    ring = [[-179.0, -89.0], [179.0, -89.0], [179.0, 89.0], [-179.0, 89.0], [-179.0, -89.0]]
+    idx = build_interval_index(
+        [{"polygon_id": "p0", "ring_index": 0, "coords": ring}]
+    )
+    bc = broadcast_index(spark, idx)
+
+    def row(i, lon, lat):
+        import hashlib as hl
+
+        iid = f"img{i:09d}"
+        digest = hl.blake2b(iid.encode()).digest()
+        cap = f"synthetic image {i} :: {digest[:12].hex()}"
+        data, w, h, fmt = encode_image(i)
+        return (iid, data, fmt, cap, lon, lat)
+
+    df = spark.createDataFrame(
+        [
+            row(1, 0.0, 0.0),          # valid, inside
+            row(2, 190.0, 0.0),        # out of window
+            row(3, float("nan"), 0.0), # NaN
+        ],
+        "image_id string, bytes binary, fmt string, caption string, lon double, lat double",
+    )
+    out = {r.image_id: r for r in validate_and_assign(df, bc).collect()}
+    assert out["img000000001"].polygon_id == "p0"
+    assert out["img000000002"].polygon_id is None
+    assert out["img000000003"].polygon_id is None
+    # validity still computed for the invalid-coordinate rows
+    assert all(r.caption_ok for r in out.values())
+
+
+def test_decompose_geojson_custom_id_col(spark):
+    import json
+
+    from simplepolygon_spark.operators.geojson import decompose_geojson
+
+    feat = {
+        "type": "Feature",
+        "geometry": {
+            "type": "Polygon",
+            "coordinates": [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]],
+        },
+    }
+    df = spark.createDataFrame([("f7", json.dumps(feat))], "fid string, geojson string")
+    rows = decompose_geojson(df, id_col="fid").collect()
+    assert len(rows) == 1 and rows[0].fid == "f7"
+    fc = json.loads(rows[0].feature_collection)
+    assert len(fc["features"]) == 1
+
+
+def test_null_rings_cell_is_typed_and_skippable(spark):
+    from simplepolygon_spark.operators.decompose import (
+        POLYGONS_SCHEMA,
+        decompose_polygons,
+    )
+
+    good = [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]]
+    df = spark.createDataFrame([("ok", good), ("bad", None)], POLYGONS_SCHEMA)
+    rows = decompose_polygons(df, on_error="skip").collect()
+    assert {r.polygon_id for r in rows} == {"ok"}
+    with pytest.raises(Exception, match="non-empty geometry"):
+        decompose_polygons(df, on_error="raise").collect()
+
+
+def test_text_ops_null_text_yields_null_not_minus_one(spark):
+    from simplepolygon_spark.operators.text import quality_scores, token_counts
+
+    df = spark.createDataFrame(
+        [("d0", "two words"), ("d1", None)], "doc_id string, text string"
+    )
+    tc = {r.doc_id: r for r in token_counts(df).collect()}
+    assert tc["d0"].n_tokens == 2
+    assert tc["d1"].n_tokens is None  # size(NULL) must not leak -1
+    q = {r.doc_id: r for r in quality_scores(df).collect()}
+    assert q["d1"].n_tokens is None and q["d1"].stop_ratio is None
+    assert q["d1"].quality is None
