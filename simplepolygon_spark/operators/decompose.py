@@ -134,3 +134,57 @@ def decompose_polygons(polygons: DataFrame, on_error: str = "raise") -> DataFram
     return src.mapInPandas(
         lambda it: _decompose_batches(it, on_error), RINGS_OUT_SCHEMA
     )
+
+
+VALIDATE_SCHEMA = StructType(
+    [
+        StructField("polygon_id", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def validate_polygons(polygons: DataFrame) -> DataFrame:
+    """Dry-run validation: (polygon_id, ok, error) — one row per input
+    polygon, never failing the job.  ``error`` carries the
+    reference-parity message (duplicate vertices, degenerate ring,
+    coincident crossings, ...) or NULL when the polygon decomposes
+    cleanly.  Use it to ROUTE dirty data — rejects to a quarantine
+    sink, the rest through ``decompose_polygons(on_error='raise')``.
+
+    Validity is defined as "the decompose kernel accepts it", so this
+    runs the full kernel and discards the rings — the only definition
+    that cannot drift from the real pipeline (walk-time rejections like
+    coincident crossings are undetectable by cheap static checks).
+    """
+    from pyspark.sql import functions as F
+
+    def run(batches):
+        from simplepolygon_spark.decompose import DecomposeError, decompose
+
+        for pdf in batches:
+            ids, oks, errs = [], [], []
+            for pid, rings in zip(pdf["polygon_id"], pdf["rings"]):
+                try:
+                    decompose(None if rings is None else list(rings))
+                    oks.append(True)
+                    errs.append(None)
+                except DecomposeError as e:
+                    oks.append(False)
+                    errs.append(str(e))
+                ids.append(pid)
+            yield pd.DataFrame({"polygon_id": ids, "ok": oks, "error": errs})
+
+    src = polygons.select("polygon_id", "rings")
+    # NULL rings cannot cross the Arrow boundary (see decompose_polygons)
+    # — classify them SQL-side and union with the kernel verdicts
+    nulls = src.filter(F.col("rings").isNull()).select(
+        "polygon_id",
+        F.lit(False).alias("ok"),
+        F.lit("The input must a geojson object with a non-empty geometry").alias(
+            "error"
+        ),
+    )
+    rest = src.filter(F.col("rings").isNotNull()).mapInPandas(run, VALIDATE_SCHEMA)
+    return rest.unionByName(nulls)

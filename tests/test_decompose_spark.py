@@ -54,3 +54,32 @@ def test_on_error_skip(spark):
     df = spark.createDataFrame(rows, POLYGONS_SCHEMA)
     out = decompose_polygons(df, on_error="skip").collect()
     assert {r.polygon_id for r in out} == {"good"}
+
+
+def test_validate_polygons_routes_dirty_data(spark):
+    from simplepolygon_spark.operators.decompose import (
+        POLYGONS_SCHEMA,
+        decompose_polygons,
+        validate_polygons,
+    )
+
+    good = [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]]
+    dup = [[[0.0, 0.0], [2.0, 0.0], [1.0, 1.0], [0.0, 2.0], [1.0, 3.0], [2.0, 2.0], [1.0, 1.0], [0.0, 0.0]]]
+    short = [[[0.0, 0.0], [1.0, 1.0]]]
+    df = spark.createDataFrame(
+        [("g", good), ("d", dup), ("s", short), ("n", None)], POLYGONS_SCHEMA
+    )
+    v = {r.polygon_id: r for r in validate_polygons(df).collect()}
+    assert len(v) == 4
+    assert v["g"].ok and v["g"].error is None
+    assert not v["d"].ok and "duplicate vertices" in v["d"].error
+    assert not v["s"].ok and "at least 3 vertices" in v["s"].error
+    assert not v["n"].ok and "non-empty geometry" in v["n"].error
+    # the documented routing: rejects quarantined, the rest decompose clean
+    from pyspark.sql import functions as F
+
+    clean = df.join(
+        validate_polygons(df).where("ok").select("polygon_id"), "polygon_id", "left_semi"
+    )
+    rows = decompose_polygons(clean, on_error="raise").collect()
+    assert {r.polygon_id for r in rows} == {"g"}
