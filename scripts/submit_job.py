@@ -16,8 +16,6 @@ from __future__ import annotations
 import json
 import sys
 
-from pyspark.sql import SparkSession
-
 
 def main() -> None:
     out_dir = sys.argv[1]
@@ -25,7 +23,11 @@ def main() -> None:
     grid = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     num_parts = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 
-    spark = SparkSession.builder.appName("simplepolygon-pipeline").getOrCreate()
+    # master=None: spark-submit --master controls deployment while the
+    # engine's plan-shaping defaults (AQE, Arrow batching) still apply
+    from simplepolygon_spark.session import get_spark
+
+    spark = get_spark("simplepolygon-pipeline", master=None)
 
     from simplepolygon_spark.operators.decompose import decompose_polygons
     from simplepolygon_spark.operators.tiling import (

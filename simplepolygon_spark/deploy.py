@@ -20,21 +20,37 @@ _SHIPPED_ATTR = "_simplepolygon_spark_shipped"
 
 
 def package_zip() -> str:
-    """Zip of the installed package (cached per process)."""
+    """Zip of the installed package, cached by CONTENT hash — a
+    pid-keyed cache would ship stale code when the OS recycles a pid
+    after the package was edited (executors then silently run old
+    operators against a newer driver)."""
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    "simplepolygon_spark", os.path.relpath(full, pkg_dir)
+                )
+                entries.append((rel, full))
+    entries.sort()
+    h = hashlib.md5()
+    for rel, full in entries:
+        h.update(rel.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
     out = os.path.join(
-        tempfile.gettempdir(), f"simplepolygon_spark_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"simplepolygon_spark_{h.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(out):
-        with zipfile.ZipFile(out, "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.join(
-                            "simplepolygon_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        z.write(full, rel)
+        tmp = out + f".{os.getpid()}.part"  # atomic publish, racing
+        with zipfile.ZipFile(tmp, "w") as z:  # processes never see a
+            for rel, full in entries:  # half-written zip
+                z.write(full, rel)
+        os.replace(tmp, out)
     return out
 
 

@@ -36,9 +36,26 @@ def _bbox_cells(lon0, lat0, lon1, lat1, level: int):
     return (spread_bits(gx) | (spread_bits(gy) << np.uint64(1))).astype(np.int64)
 
 
-def _bbox_cells_batch(b0, b1, b2, b3, level: int):
+def _bbox_cells_batch(b0, b1, b2, b3, level: int, ids=None):
     """(tile_idx, cell_id) for every cell of every tile bbox — vectorized
-    variable-length expansion with repeat/arange arithmetic."""
+    variable-length expansion with repeat/arange arithmetic.
+
+    Inverted or non-finite bboxes are rejected up front (mirroring
+    tile_cells_df's SQL-side guard): a doubly-inverted bbox would pass
+    the repeat arithmetic and silently emit garbage cells, a singly-
+    inverted one dies deep in numpy with no tile attribution."""
+    bad = (
+        ~(np.isfinite(b0) & np.isfinite(b1) & np.isfinite(b2) & np.isfinite(b3))
+        | (b0 > b2)
+        | (b1 > b3)
+    )
+    if bad.any():
+        k = int(np.nonzero(bad)[0][0])
+        who = f"tile {ids[k]!r}" if ids is not None else f"batch row {k}"
+        raise ValueError(
+            f"inverted bbox or non-finite bounds at {who}: "
+            f"lon [{b0[k]}, {b2[k]}], lat [{b1[k]}, {b3[k]}]"
+        )
     n = np.int64(1 << level)
     ix0 = np.clip(np.floor((b0 + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
     ix1 = np.clip(np.floor((b2 + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
@@ -83,7 +100,7 @@ def crosswalk(
             b3 = batch.column("lat_max").to_numpy(zero_copy_only=False)
             if len(ids) == 0:
                 continue
-            tile_idx, cells = _bbox_cells_batch(b0, b1, b2, b3, level)
+            tile_idx, cells = _bbox_cells_batch(b0, b1, b2, b3, level, ids=ids)
             lo, hi = cell_range_at_max(cells, level, idx.max_level)
             qi, rid = idx.overlap_batch(lo, hi)
             # hit rows

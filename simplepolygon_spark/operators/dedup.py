@@ -220,6 +220,12 @@ def minhash_band_buckets(
     seed: int = 7,
 ) -> DataFrame:
     """(doc_id, band, band_hash) — LSH bucket keys from MinHash sigs."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): a "
+            "remainder would silently drop the trailing hashes from the "
+            "banding and shift the S-curve off every documented recall bound"
+        )
     return _band_buckets_from_sigs(
         minhash_doc_sigs(docs, num_hashes, k, seed), bands, num_hashes // bands
     )
@@ -272,6 +278,11 @@ def minhash_dup_pairs(
         docs = docs.repartition(rebalance)
     if bands is None:
         bands = bands_for_threshold(num_hashes, threshold)
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): a "
+            "remainder would silently drop the trailing hashes from the banding"
+        )
     sigs = minhash_doc_sigs(docs, num_hashes, k).persist()
     bk = _band_buckets_from_sigs(sigs, bands, num_hashes // bands)
     a, b = bk.alias("a"), bk.alias("b")
@@ -561,11 +572,20 @@ def srp_signatures(
     hyperplanes drawn N(0,1) from a seeded generator (Charikar SimHash
     for cosine).  P[bit match] for a pair at angle θ is 1 − θ/π.
 
+    ``num_planes`` is capped at 64: the signature is ONE 64-bit word,
+    and a shift count >= 64 on uint64 aliases mod 64 (plane i and plane
+    i+64 would silently collide into the same bit).
+
     One Arrow pass, one matmul per batch: the batch's vectors are
     viewed as an (n × d) matrix and multiplied against the (d × planes)
     hyperplane matrix.  Hyperplanes are regenerated per batch from the
     seed (cheap: d × planes doubles) so every executor, batch, and run
     agrees without shipping state."""
+    if not (1 <= num_planes <= 64):
+        raise ValueError(
+            f"num_planes ({num_planes}) must be in [1, 64]: the signature "
+            "is one 64-bit word"
+        )
     schema = f"{id_col} long, sig long"
     shifts = np.arange(num_planes, dtype=np.uint64)
 

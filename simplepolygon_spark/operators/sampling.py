@@ -41,8 +41,10 @@ def stratified_sample(
     spreading a giant stratum across reducers; correctness is unchanged
     because the global top-n is always contained in the union of local
     top-ns (the md5 order is a total order independent of placement)."""
-    pid, lrn = "__strat_pid", "__strat_lrn"
-    clash = [c for c in (pid, lrn) if c in df.columns]
+    # every helper column is __strat_-prefixed and clash-checked — a
+    # user column named "rn" must survive untouched
+    pid, lrn, grn = "__strat_pid", "__strat_lrn", "__strat_rn"
+    clash = [c for c in (pid, lrn, grn) if c in df.columns]
     if clash:
         raise ValueError(f"stratified_sample: input already has column(s) {clash}")
     order = F.md5(F.col(id_col).cast("string"))
@@ -55,9 +57,9 @@ def stratified_sample(
     )
     w = Window.partitionBy(strata_col).orderBy(order, id_col)
     return (
-        pruned.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_per_stratum)
-        .drop("rn")
+        pruned.withColumn(grn, F.row_number().over(w))
+        .where(F.col(grn) <= n_per_stratum)
+        .drop(grn)
     )
 
 
@@ -148,10 +150,11 @@ def decontaminate(
     joining the corpus back to itself would shuffle 100 TB); the
     benchmark fingerprint dim is broadcast and the anti-join is
     therefore shuffle-free on the fact side."""
-    train_fp = train.withColumn("fingerprint", fingerprint_col("text"))
-    bench_fp = (
-        benchmark.select(fingerprint_col("text").alias("fingerprint")).distinct()
-    )
-    return train_fp.join(
-        F.broadcast(bench_fp), "fingerprint", "left_anti"
-    ).drop("fingerprint")
+    # internal key column — a caller's own "fingerprint" column (an
+    # upstream content hash, say) must come back untouched
+    fp = "__decon_fp"
+    if fp in train.columns:
+        raise ValueError(f"decontaminate: input already has column {fp}")
+    train_fp = train.withColumn(fp, fingerprint_col("text"))
+    bench_fp = benchmark.select(fingerprint_col("text").alias(fp)).distinct()
+    return train_fp.join(F.broadcast(bench_fp), fp, "left_anti").drop(fp)

@@ -3,8 +3,8 @@
 Centralizes the configs that matter at scale (AQE, Arrow batch sizing,
 shuffle partitions) so every entry point — tests, bench, spark-submit —
 runs the same plan-shaping knobs.  ``parallelism`` is the local[] core
-count in the sandbox; on a real cluster the same builder is used without
-``master`` so spark-submit controls deployment.
+count in the sandbox; on a real cluster pass ``master=None`` so
+spark-submit controls deployment (scripts/submit_job.py does).
 """
 
 from __future__ import annotations
@@ -19,17 +19,29 @@ def get_spark(
     parallelism: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    master: str | None = "local",
 ) -> SparkSession:
+    """``master="local"`` (default) pins ``local[parallelism]`` — the
+    sandbox/test/bench mode.  ``master=None`` leaves the master UNSET so
+    ``spark-submit --master yarn|k8s://...`` controls deployment (a
+    builder-side .master() would silently override it and run the whole
+    job on the driver node); shuffle partitions are then also left to
+    cluster conf unless explicitly passed.  Any other string is passed
+    through verbatim."""
     if parallelism is None:
         parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if shuffle_partitions is None:
-        # at local scale: ~2x cores; a real cluster overrides via conf
-        shuffle_partitions = max(2 * parallelism, 8)
+    b = SparkSession.builder.appName(app_name)
+    if master == "local":
+        b = b.master(f"local[{parallelism}]")
+        if shuffle_partitions is None:
+            # at local scale: ~2x cores
+            shuffle_partitions = max(2 * parallelism, 8)
+    elif master is not None:
+        b = b.master(master)
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{parallelism}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -536,3 +536,71 @@ def test_text_ops_null_text_yields_null_not_minus_one(spark):
     q = {r.doc_id: r for r in quality_scores(df).collect()}
     assert q["d1"].n_tokens is None and q["d1"].stop_ratio is None
     assert q["d1"].quality is None
+
+
+# ---------------------------------------------------------------------------
+# fifth review pass: banding guards, column-clash safety, bbox kernel guard
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_banding_guards(spark):
+    from simplepolygon_spark.operators.dedup import (
+        minhash_band_buckets,
+        srp_signatures,
+    )
+
+    d = spark.createDataFrame([("a", "some text")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="must divide num_hashes"):
+        minhash_band_buckets(d, num_hashes=64, bands=10)
+    e = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, v array<double>")
+    with pytest.raises(ValueError, match=r"num_planes .* must be in \[1, 64\]"):
+        srp_signatures(e, num_planes=128)
+
+
+def test_stratified_sample_preserves_user_rn_column(spark):
+    from simplepolygon_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"rn{i}") for i in range(30)],
+        "doc_id long, stratum int, rn string",
+    )
+    out = stratified_sample(df, "stratum", n_per_stratum=2, id_col="doc_id")
+    rows = out.collect()
+    assert len(rows) == 6
+    assert all(r.rn == f"rn{r.doc_id}" for r in rows)  # user column intact
+
+
+def test_decontaminate_preserves_user_fingerprint_column(spark):
+    from simplepolygon_spark.operators.sampling import decontaminate
+
+    train = spark.createDataFrame(
+        [("t1", "alpha beta", "userfp1"), ("t2", "gamma delta", "userfp2")],
+        "doc_id string, text string, fingerprint string",
+    )
+    bench = spark.createDataFrame([("b1", "alpha beta")], "doc_id string, text string")
+    rows = decontaminate(train, bench).collect()
+    assert [(r.doc_id, r.fingerprint) for r in rows] == [("t2", "userfp2")]
+
+
+def test_crosswalk_kernel_rejects_inverted_bbox(spark):
+    import numpy as np
+
+    from simplepolygon_spark.operators.crosswalk import _bbox_cells_batch
+
+    lo = np.array([10.0]); la = np.array([10.0])
+    hi = np.array([0.0]); ha = np.array([0.0])
+    with pytest.raises(ValueError, match="inverted bbox"):
+        _bbox_cells_batch(lo, la, hi, ha, 12, ids=np.array(["t9"], object))
+    nan = np.array([float("nan")])
+    with pytest.raises(ValueError, match="non-finite"):
+        _bbox_cells_batch(nan, la, hi, ha, 12)
+
+
+def test_package_zip_rebuilds_on_content_change(tmp_path, monkeypatch):
+    from simplepolygon_spark import deploy
+
+    p1 = deploy.package_zip()
+    p2 = deploy.package_zip()
+    assert p1 == p2  # stable for unchanged content
+    import os
+    assert os.path.exists(p1)
