@@ -10,9 +10,11 @@ give the streaming path:
   windowed_feed_stats  — per event-time window ingest metrics
   stream_tile_assign   — PIP tile assignment on the stream: the same
                          broadcast interval index + Arrow batch kernel as
-                         the batch path (foreachBatch would be used for
-                         lineage writes; here the transformation itself is
-                         stream-safe because it is stateless per row)
+                         the batch path (stateless per row, stream-safe)
+  start_assign_with_lineage — the full ingest→assign→commit sink:
+                         foreachBatch writes each micro-batch through
+                         the lineage log (exactly-once across replays;
+                         read with plans.lineage.read_result)
 """
 
 from __future__ import annotations
@@ -294,6 +296,85 @@ def start_banded_near_dedup(
         sigs.writeStream.foreachBatch(
             lambda df, bid: banded_dedup_batch(
                 df, bid, out_dir, state_dir, max_hamming
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def assign_with_lineage_batch(
+    batch_df: DataFrame, batch_id: int, index_bc, out_dir: str, num_parts: int = 64
+) -> None:
+    """One micro-batch of the streaming ingest→assign→commit pipeline:
+    PIP tile assignment (same broadcast index + Arrow kernel as the
+    batch path) committed through the lineage log — the ``foreachBatch``
+    body of ``start_assign_with_lineage``.
+
+    Exactly-once across micro-batch REPLAYS, by the same commit-point
+    argument as the batch pipeline (plans/lineage.py):
+
+    * run_id = ``b<batch_id>-<fresh attempt suffix>``.  A replayed batch
+      first checks the lineage log for ANY committed run of this
+      batch_id and no-ops if found.
+    * A crash BETWEEN the data write and the lineage write leaves orphan
+      files under the crashed attempt's run_id; they never get a lineage
+      row, so ``read_result`` never surfaces them, and the replay
+      re-processes under a FRESH attempt suffix — never appending into a
+      committed (part_id, run_id) partition.
+    * A batch yielding ZERO assignments commits nothing and is
+      re-processed on every replay — harmless (idempotent no-op) and
+      cheaper than sentinel lineage rows.
+    """
+    import os
+    import uuid
+
+    from pyspark.errors import AnalysisException
+
+    from ..operators.tiling import pip_join
+    from ..plans.lineage import LINEAGE_SUBDIR, with_part_id, write_with_lineage
+
+    spark = batch_df.sparkSession
+    prefix = f"b{int(batch_id):012d}-"
+    try:
+        committed = (
+            spark.read.parquet(os.path.join(out_dir, LINEAGE_SUBDIR))
+            .where(F.col("run_id").startswith(prefix))
+            .limit(1)
+            .count()
+        )
+    except AnalysisException:
+        committed = 0  # no lineage log yet; other errors must propagate
+    if committed:
+        return  # replay of an already-committed micro-batch
+
+    asg = with_part_id(pip_join(batch_df, index_bc), "image_id", num_parts).persist()
+    try:
+        part_ids = [r.part_id for r in asg.select("part_id").distinct().collect()]
+        write_with_lineage(asg, out_dir, prefix + uuid.uuid4().hex[:8], part_ids)
+    finally:
+        asg.unpersist()
+
+
+def start_assign_with_lineage(
+    feed: DataFrame,
+    index_bc,
+    out_dir: str,
+    checkpoint_dir: str,
+    num_parts: int = 64,
+    **trigger,
+):
+    """Streaming S7: the image feed lands as lineage-committed PIP
+    assignments.  Read the committed result (orphans invisible) with
+    ``plans.lineage.read_result`` — the SAME reader as the batch
+    pipeline, so downstream consumers cannot tell which mode produced
+    the table.  Returns the started StreamingQuery."""
+    return (
+        feed.writeStream.foreachBatch(
+            lambda df, bid: assign_with_lineage_batch(
+                df, bid, index_bc, out_dir, num_parts
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -240,3 +240,79 @@ def test_banded_dedup_late_arrival_not_suppressed_by_later_doc(spark, tmp_path):
     # both emit: doc 3 is genuinely earlier (never suppressed); doc 10
     # was already emitted before doc 3 arrived (cannot be retracted)
     assert got == [3, 10]
+
+
+def test_stream_assign_with_lineage_exactly_once(spark, tmp_path):
+    """Streaming S7: feed → PIP assign → lineage commit.  The committed
+    result equals the batch pipeline on the same landed table; a
+    replayed micro-batch no-ops; orphan data from a crashed attempt
+    (data written, lineage not) stays invisible and the replay
+    re-commits cleanly."""
+    import uuid
+
+    from simplepolygon_spark.operators.tiling import pip_join
+    from simplepolygon_spark.plans.lineage import (
+        DATA_SUBDIR,
+        read_result,
+        with_part_id,
+    )
+    from simplepolygon_spark.streaming.feed import (
+        assign_with_lineage_batch,
+        start_assign_with_lineage,
+    )
+
+    feed_dir = str(tmp_path / "lfeed")
+    images_df(spark, 300, partitions=2, with_bytes=False).write.mode(
+        "overwrite"
+    ).parquet(feed_dir)
+    rings = decompose_polygons(footprints_df(spark, grid=3))
+    bc = broadcast_index(spark, build_interval_index(rings, cover_level=9))
+    out_dir = str(tmp_path / "lout")
+
+    q = start_assign_with_lineage(
+        read_image_feed(spark, feed_dir, with_ts=False),
+        bc,
+        out_dir,
+        str(tmp_path / "lckpt"),
+        num_parts=8,
+    )
+    q.awaitTermination(120)
+
+    def committed():
+        return {
+            (r.image_id, r.polygon_id, r.ring_index)
+            for r in read_result(spark, out_dir).collect()
+        }
+
+    expect = {
+        (r.image_id, r.polygon_id, r.ring_index)
+        for r in pip_join(spark.read.parquet(feed_dir), bc).collect()
+    }
+    assert committed() == expect and expect
+
+    # replay of an already-committed micro-batch: exactly-once no-op
+    batch0 = spark.read.parquet(feed_dir)
+    assign_with_lineage_batch(batch0, 0, bc, out_dir, num_parts=8)
+    assert committed() == expect
+
+    # crashed attempt of a NEW batch: data written under an attempt
+    # run_id, no lineage row → invisible; the replay commits cleanly
+    nb = images_df(spark, 350, partitions=1, with_bytes=False).where(
+        F.col("image_id") >= "img000000300"
+    )
+    orphan = (
+        with_part_id(pip_join(nb, bc), "image_id", 8)
+        .withColumn("run_id", F.lit(f"b{1:012d}-{uuid.uuid4().hex[:8]}"))
+    )
+    orphan.write.mode("append").partitionBy("part_id", "run_id").parquet(
+        os.path.join(out_dir, DATA_SUBDIR)
+    )
+    assert committed() == expect  # orphans never surface
+    assign_with_lineage_batch(nb, 1, bc, out_dir, num_parts=8)
+    expect2 = expect | {
+        (r.image_id, r.polygon_id, r.ring_index) for r in pip_join(nb, bc).collect()
+    }
+    assert committed() == expect2
+    # and a replay of batch 1 after the successful commit: no-op again
+    assign_with_lineage_batch(nb, 1, bc, out_dir, num_parts=8)
+    assert committed() == expect2
