@@ -43,7 +43,10 @@ def main() -> None:
     index = build_interval_index(rings, cover_level=10)
     bc = broadcast_index(spark, index)
     imgs = images_df(spark, n_images, with_bytes=False)
-    run_pipeline(spark, imgs, bc, out_dir, run_id="submit", num_parts=num_parts)
+    # run_id stays the default fresh uuid: a FIXED id would break the
+    # documented resume flow — write_with_lineage rejects an id already
+    # committed to the lineage log, so the second run would raise
+    run_pipeline(spark, imgs, bc, out_dir, num_parts=num_parts)
 
     print(
         json.dumps(

@@ -81,6 +81,16 @@ def decompose(rings: list) -> list[dict[str, Any]]:
     closed: list[list[list[float]]] = []
     vertices: list[list[float]] = []
     for ring in rings:
+        for p in ring:
+            if len(p) < 2:
+                # DOCUMENTED DEVIATION: the reference reads v[0]/v[1] as
+                # JS undefined and propagates NaN-like garbage through
+                # gpsi; a malformed position is rejected with a typed
+                # error instead of an IndexError from the float() below
+                raise DecomposeError(
+                    "Each position must contain at least 2 coordinates "
+                    "(engine deviation: the reference does not validate this)"
+                )
         r = [[float(p[0]), float(p[1])] for p in ring]
         if len(r) < 3:
             # DOCUMENTED DEVIATION from the reference: simplepolygon

@@ -19,14 +19,16 @@ from pyspark.sql import SparkSession
 _SHIPPED_ATTR = "_simplepolygon_spark_shipped"
 
 
-def package_zip() -> str:
+def package_zip(pkg_dir: str | None = None) -> str:
     """Zip of the installed package, cached by CONTENT hash — a
     pid-keyed cache would ship stale code when the OS recycles a pid
     after the package was edited (executors then silently run old
-    operators against a newer driver)."""
+    operators against a newer driver).  ``pkg_dir`` defaults to this
+    package; tests point it at a scratch tree to prove invalidation."""
     import hashlib
 
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if pkg_dir is None:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
     entries = []
     for root, _dirs, files in os.walk(pkg_dir):
         for fn in sorted(files):

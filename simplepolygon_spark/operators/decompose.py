@@ -72,17 +72,22 @@ def _decompose_batches(
             "is_indexed": [],
             "coords": [],
         }
-        for pid, rings in zip(pdf["polygon_id"], pdf["rings"]):
+        was_null = (
+            pdf["__was_null"]
+            if "__was_null" in pdf.columns
+            else [False] * len(pdf)
+        )
+        for pid, nul, rings in zip(pdf["polygon_id"], was_null, pdf["rings"]):
             try:
                 # rings arrive as numpy object arrays; decompose()'s own
                 # normalization ([[float(x), float(y)] ...]) consumes the
                 # per-ring arrays directly — only the outer container is
                 # (shallow-)listed; a deep listify here would be a
-                # redundant full copy of every coordinate.  A NULL rings
-                # cell (e.g. from_json nulled mis-shaped coordinates) is
-                # a typed DecomposeError, not a TypeError — on_error=
-                # 'skip' must be able to drop it
-                feats = decompose(None if rings is None else list(rings))
+                # redundant full copy of every coordinate.  A __was_null
+                # flagged row (NULL rings cell, e.g. from_json nulled
+                # mis-shaped coordinates — replaced by a placeholder at
+                # the Arrow boundary) raises the typed DecomposeError
+                feats = decompose(None if nul else list(rings))
             except DecomposeError:
                 if on_error == "raise":
                     raise
@@ -112,25 +117,36 @@ def decompose_polygons(polygons: DataFrame, on_error: str = "raise") -> DataFram
     """
     from pyspark.sql import functions as F
 
+    if on_error not in ("skip", "raise"):
+        # unvalidated, a typo like 'ignore' would get HYBRID semantics:
+        # NULL rings raising SQL-side while kernel rejects are skipped
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+
     # NULL rings must be resolved SQL-SIDE: pyspark's arrow_to_pandas
-    # segfaults the worker converting a NULL cell of this nested type,
-    # so a NULL reaching the kernel is unrecoverable regardless of
-    # on_error.  skip → filter; raise → typed message via raise_error.
+    # segfaults the worker converting a NULL (or empty) cell of this
+    # nested type, so neither may reach the Arrow boundary.  rings=[] is
+    # VALID (the reference fast path yields an empty FeatureCollection →
+    # zero output rows here), so empties are filtered on both paths.
+    # NULLs: skip → filter; raise → a __was_null FLAG + placeholder, and
+    # the KERNEL raises the typed error.  (Not SQL raise_error: that
+    # projection is deterministic, so Catalyst may push it below a
+    # caller's join/filter and fire it on rows the caller had excluded —
+    # the mapInPandas kernel is a barrier the optimizer cannot cross.)
     src = polygons.select("polygon_id", "rings")
     if on_error == "skip":
-        src = src.filter(F.col("rings").isNotNull())
+        src = (
+            src.filter(F.col("rings").isNotNull() & (F.size("rings") > 0))
+            .withColumn("__was_null", F.lit(False))
+        )
     else:
+        placeholder = F.array(F.array(F.array(F.lit(0.0), F.lit(0.0))))
         src = src.select(
             "polygon_id",
-            F.when(
-                F.col("rings").isNull(),
-                F.raise_error(
-                    F.lit("The input must a geojson object with a non-empty geometry")
-                ).cast(RINGS_TYPE),
-            )
+            F.col("rings").isNull().alias("__was_null"),
+            F.when(F.col("rings").isNull(), placeholder)
             .otherwise(F.col("rings"))
             .alias("rings"),
-        )
+        ).filter(F.col("__was_null") | (F.size("rings") > 0))
     return src.mapInPandas(
         lambda it: _decompose_batches(it, on_error), RINGS_OUT_SCHEMA
     )
@@ -165,26 +181,46 @@ def validate_polygons(polygons: DataFrame) -> DataFrame:
 
         for pdf in batches:
             ids, oks, errs = [], [], []
-            for pid, rings in zip(pdf["polygon_id"], pdf["rings"]):
+            for pid, was_null, was_empty, rings in zip(
+                pdf["polygon_id"], pdf["__was_null"], pdf["__was_empty"], pdf["rings"]
+            ):
                 try:
-                    decompose(None if rings is None else list(rings))
+                    if was_null:
+                        # must raise the null message, not decompose the
+                        # placeholder
+                        decompose(None)
+                    elif was_empty:
+                        pass  # [] is valid: empty FeatureCollection
+                    else:
+                        decompose(list(rings))
                     oks.append(True)
                     errs.append(None)
                 except DecomposeError as e:
                     oks.append(False)
                     errs.append(str(e))
+                except Exception as e:  # malformed beyond the typed checks
+                    # a routing operator must NEVER fail the job — report
+                    # the reject with its class so the quarantine sink
+                    # can triage it
+                    oks.append(False)
+                    errs.append(f"{type(e).__name__}: {e}")
                 ids.append(pid)
             yield pd.DataFrame({"polygon_id": ids, "ok": oks, "error": errs})
 
-    src = polygons.select("polygon_id", "rings")
-    # NULL rings cannot cross the Arrow boundary (see decompose_polygons)
-    # — classify them SQL-side and union with the kernel verdicts
-    nulls = src.filter(F.col("rings").isNull()).select(
+    # ONE scan: NULL and EMPTY rings cells both segfault pyspark's
+    # arrow_to_pandas for this nested type (see decompose_polygons), so
+    # they are flagged SQL-side and replaced by a valid placeholder that
+    # converts safely — a filter-and-union shape would execute the
+    # (possibly expensive) source twice
+    placeholder = F.array(F.array(F.array(F.lit(0.0), F.lit(0.0))))
+    src = polygons.select(
         "polygon_id",
-        F.lit(False).alias("ok"),
-        F.lit("The input must a geojson object with a non-empty geometry").alias(
-            "error"
-        ),
+        F.col("rings").isNull().alias("__was_null"),
+        (F.size("rings") == 0).alias("__was_empty"),
+        F.when(
+            F.col("rings").isNull() | (F.size("rings") == 0), placeholder
+        )
+        .otherwise(F.col("rings"))
+        .alias("rings"),
     )
-    rest = src.filter(F.col("rings").isNotNull()).mapInPandas(run, VALIDATE_SCHEMA)
-    return rest.unionByName(nulls)
+    return src.mapInPandas(run, VALIDATE_SCHEMA)

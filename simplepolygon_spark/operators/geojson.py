@@ -138,4 +138,21 @@ def decompose_geojson(
     # groupBy shuffles only the (small) ring layer; the alternative —
     # buffering across mapInPandas batches — would silently break on a
     # >maxRecordsPerBatch polygon, so correctness wins the shuffle here
-    return rings_out.groupBy(id_col).applyInPandas(assemble, schema)
+    assembled = rings_out.groupBy(id_col).applyInPandas(assemble, schema)
+    # a feature with coordinates: [] produces ZERO ring rows (the
+    # reference's fast path yields an empty FeatureCollection), so its
+    # group never reaches assemble — join the input ids back and fill
+    # the gap with the same empty FC json.dumps would emit, instead of
+    # silently dropping the row
+    empty_fc = json.dumps({"type": "FeatureCollection", "features": []})
+    return (
+        parsed.select(F.col("polygon_id").alias(id_col))
+        .distinct()
+        .join(assembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("feature_collection", F.lit(empty_fc)).alias(
+                "feature_collection"
+            ),
+        )
+    )

@@ -29,13 +29,24 @@ def _emb_matrix(arr) -> np.ndarray:
     to_pylist() detour: flatten() honors list offsets and fixed-dim
     embeddings make the reshape valid.  to_pylist() materializes n·d
     Python float objects per batch — an order-of-magnitude slowdown on
-    the hot paths this module documents as the 100 TB plan."""
-    return (
-        arr.flatten()
-        .to_numpy(zero_copy_only=False)
-        .astype(np.float64)
-        .reshape(len(arr), -1)
-    )
+    the hot paths this module documents as the 100 TB plan.
+
+    NULL or ragged entries are rejected loudly: flatten() silently
+    SKIPS a null list, so an unguarded reshape would either misalign
+    every row after the null (when the sizes happen to divide) or die
+    with an unattributed reshape error."""
+    if arr.null_count:
+        raise ValueError(
+            f"{arr.null_count} NULL embedding(s) in batch — filter or "
+            "impute upstream; a NULL would silently misalign the matrix"
+        )
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    if flat.size % n != 0:
+        raise ValueError(
+            f"ragged embeddings in batch: {flat.size} values across {n} rows"
+        )
+    return flat.reshape(n, -1)
 
 
 def _norm_expr(col):

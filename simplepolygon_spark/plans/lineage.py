@@ -214,9 +214,15 @@ def write_with_lineage(
                 f"write metrics and the files on disk under {data_path}"
             )
 
-    metrics.select("part_id", "run_id", "n_rows", "n_bytes", "checksum").write.mode(
-        "append"
-    ).parquet(lin_path)
+    # coalesce(1): the lineage rows of one run publish as ONE file, so
+    # the commit is all-or-nothing (a multi-file append could crash
+    # mid-job-commit with only SOME parts' rows visible — a replay
+    # gate that checks "any row of this run exists" would then skip the
+    # parts whose rows never landed, orphaning their data forever).
+    # The frame is driver-built and tiny (one row per logical part).
+    metrics.select("part_id", "run_id", "n_rows", "n_bytes", "checksum").coalesce(
+        1
+    ).write.mode("append").parquet(lin_path)
 
 
 def read_result(spark: SparkSession, out_dir: str) -> DataFrame:

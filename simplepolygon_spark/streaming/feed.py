@@ -305,6 +305,11 @@ def start_banded_near_dedup(
     )
 
 
+# per-(process, out_dir) committed-batch cache for the streaming
+# lineage sink — see assign_with_lineage_batch's docstring
+_COMMITTED_BATCHES: dict[str, set[str]] = {}
+
+
 def assign_with_lineage_batch(
     batch_df: DataFrame, batch_id: int, index_bc, out_dir: str, num_parts: int = 64
 ) -> None:
@@ -318,7 +323,10 @@ def assign_with_lineage_batch(
 
     * run_id = ``b<batch_id>-<fresh attempt suffix>``.  A replayed batch
       first checks the lineage log for ANY committed run of this
-      batch_id and no-ops if found.
+      batch_id and no-ops if found.  The any-row check is sound because
+      ``write_with_lineage`` publishes one run's lineage rows as a
+      SINGLE file — the commit is all-or-nothing, so "any row exists"
+      implies every part of the attempt committed.
     * A crash BETWEEN the data write and the lineage write leaves orphan
       files under the crashed attempt's run_id; they never get a lineage
       row, so ``read_result`` never surfaces them, and the replay
@@ -327,6 +335,12 @@ def assign_with_lineage_batch(
     * A batch yielding ZERO assignments commits nothing and is
       re-processed on every replay — harmless (idempotent no-op) and
       cheaper than sentinel lineage rows.
+
+    The committed-batch set is cached per (process, out_dir): ONE
+    lineage-log read at (re)start, O(1) per subsequent micro-batch —
+    re-scanning the whole log per batch would make a long-lived
+    stream's total replay-check cost quadratic in its batch count.
+    Single-writer per out_dir, like every lineage sink here.
     """
     import os
     import uuid
@@ -337,23 +351,33 @@ def assign_with_lineage_batch(
     from ..plans.lineage import LINEAGE_SUBDIR, with_part_id, write_with_lineage
 
     spark = batch_df.sparkSession
-    prefix = f"b{int(batch_id):012d}-"
-    try:
-        committed = (
-            spark.read.parquet(os.path.join(out_dir, LINEAGE_SUBDIR))
-            .where(F.col("run_id").startswith(prefix))
-            .limit(1)
-            .count()
-        )
-    except AnalysisException:
-        committed = 0  # no lineage log yet; other errors must propagate
-    if committed:
+    bkey = f"b{int(batch_id):012d}"
+    done = _COMMITTED_BATCHES.get(out_dir)
+    if done is None:
+        try:
+            rows = (
+                spark.read.parquet(os.path.join(out_dir, LINEAGE_SUBDIR))
+                .select("run_id")
+                .distinct()
+                .collect()
+            )
+            done = {
+                r.run_id.split("-", 1)[0]
+                for r in rows
+                if r.run_id.startswith("b") and "-" in r.run_id
+            }
+        except AnalysisException:
+            done = set()  # no lineage log yet; other errors must propagate
+        _COMMITTED_BATCHES[out_dir] = done
+    if bkey in done:
         return  # replay of an already-committed micro-batch
 
     asg = with_part_id(pip_join(batch_df, index_bc), "image_id", num_parts).persist()
     try:
         part_ids = [r.part_id for r in asg.select("part_id").distinct().collect()]
-        write_with_lineage(asg, out_dir, prefix + uuid.uuid4().hex[:8], part_ids)
+        write_with_lineage(asg, out_dir, f"{bkey}-{uuid.uuid4().hex[:8]}", part_ids)
+        if part_ids:
+            done.add(bkey)  # empty batches commit nothing — don't mark
     finally:
         asg.unpersist()
 

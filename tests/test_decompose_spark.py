@@ -66,15 +66,19 @@ def test_validate_polygons_routes_dirty_data(spark):
     good = [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]]
     dup = [[[0.0, 0.0], [2.0, 0.0], [1.0, 1.0], [0.0, 2.0], [1.0, 3.0], [2.0, 2.0], [1.0, 1.0], [0.0, 0.0]]]
     short = [[[0.0, 0.0], [1.0, 1.0]]]
+    badpos = [[[0.0, 0.0], [2.0], [2.0, 2.0], [0.0, 2.0]]]  # 1-coord position
     df = spark.createDataFrame(
-        [("g", good), ("d", dup), ("s", short), ("n", None)], POLYGONS_SCHEMA
+        [("g", good), ("d", dup), ("s", short), ("n", None), ("e", []), ("p", badpos)],
+        POLYGONS_SCHEMA,
     )
     v = {r.polygon_id: r for r in validate_polygons(df).collect()}
-    assert len(v) == 4
+    assert len(v) == 6
     assert v["g"].ok and v["g"].error is None
+    assert v["e"].ok and v["e"].error is None  # [] = empty FC, valid
     assert not v["d"].ok and "duplicate vertices" in v["d"].error
     assert not v["s"].ok and "at least 3 vertices" in v["s"].error
     assert not v["n"].ok and "non-empty geometry" in v["n"].error
+    assert not v["p"].ok and "at least 2 coordinates" in v["p"].error
     # the documented routing: rejects quarantined, the rest decompose clean
     from pyspark.sql import functions as F
 
@@ -82,4 +86,4 @@ def test_validate_polygons_routes_dirty_data(spark):
         validate_polygons(df).where("ok").select("polygon_id"), "polygon_id", "left_semi"
     )
     rows = decompose_polygons(clean, on_error="raise").collect()
-    assert {r.polygon_id for r in rows} == {"g"}
+    assert {r.polygon_id for r in rows} == {"g"}  # "e" is valid but yields 0 rows

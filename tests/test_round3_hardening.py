@@ -596,11 +596,76 @@ def test_crosswalk_kernel_rejects_inverted_bbox(spark):
         _bbox_cells_batch(nan, la, hi, ha, 12)
 
 
-def test_package_zip_rebuilds_on_content_change(tmp_path, monkeypatch):
+def test_package_zip_rebuilds_on_content_change(tmp_path):
+    """Content-hash caching: stable path for unchanged source, a NEW
+    zip the moment any .py changes — the stale-shipment hazard a
+    pid-keyed cache had (recycled pid → executors run old code)."""
+    import os
+    import zipfile
+
     from simplepolygon_spark import deploy
 
-    p1 = deploy.package_zip()
-    p2 = deploy.package_zip()
-    assert p1 == p2  # stable for unchanged content
-    import os
+    pkg = tmp_path / "fakepkg"
+    pkg.mkdir()
+    (pkg / "mod.py").write_text("X = 1\n")
+    p1 = deploy.package_zip(str(pkg))
+    assert p1 == deploy.package_zip(str(pkg))  # stable while unchanged
     assert os.path.exists(p1)
+    (pkg / "mod.py").write_text("X = 2\n")
+    p2 = deploy.package_zip(str(pkg))
+    assert p2 != p1  # edited content → different zip, never stale
+    with zipfile.ZipFile(p2) as z:
+        assert b"X = 2" in z.read("simplepolygon_spark/mod.py")
+    # the real package zips and round-trips too
+    assert os.path.exists(deploy.package_zip())
+
+
+def test_decompose_geojson_empty_coordinates_emits_empty_fc(spark):
+    """coordinates: [] must yield {"type":"FeatureCollection",
+    "features":[]} (the reference fast path), not a silently dropped
+    row."""
+    import json
+
+    from simplepolygon_spark.operators.geojson import decompose_geojson
+
+    def feat(coords):
+        return json.dumps(
+            {"type": "Feature", "geometry": {"type": "Polygon", "coordinates": coords}}
+        )
+
+    square = [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]]
+    df = spark.createDataFrame(
+        [("a", feat(square)), ("b", feat([]))], "polygon_id string, geojson string"
+    )
+    rows = {r.polygon_id: r for r in decompose_geojson(df).collect()}
+    assert set(rows) == {"a", "b"}  # no dropped ids
+    assert json.loads(rows["b"].feature_collection) == {
+        "type": "FeatureCollection",
+        "features": [],
+    }
+    assert len(json.loads(rows["a"].feature_collection)["features"]) == 1
+
+
+def test_emb_matrix_rejects_null_embeddings():
+    import numpy as np
+    import pyarrow as pa
+
+    from simplepolygon_spark.operators.similarity import _emb_matrix
+
+    ok = pa.array([[1.0, 2.0], [3.0, 4.0]])
+    assert _emb_matrix(ok).shape == (2, 2)
+    with pytest.raises(ValueError, match="NULL embedding"):
+        _emb_matrix(pa.array([[1.0, 2.0], None, [3.0, 4.0]]))
+    with pytest.raises(ValueError, match="ragged"):
+        _emb_matrix(pa.array([[1.0, 2.0], [3.0, 4.0, 5.0]]))
+
+
+def test_decompose_polygons_rejects_bad_on_error(spark):
+    from simplepolygon_spark.operators.decompose import (
+        POLYGONS_SCHEMA,
+        decompose_polygons,
+    )
+
+    df = spark.createDataFrame([], POLYGONS_SCHEMA)
+    with pytest.raises(ValueError, match="on_error"):
+        decompose_polygons(df, on_error="ignore")
