@@ -647,6 +647,41 @@ def _q_top_ngrams_sql():
     """
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repeated-bigram quality signal: per-doc n-gram
+    count, distinct count, repeat fraction — pure per-row codegen
+    expressions, no explode/shuffle (the gram array never leaves its
+    row)."""
+    from simplepolygon_spark.operators.text import repetition_scores
+
+    return repetition_scores(_read(spark, sf_dir, "documents"), n=2).orderBy("doc_id")
+
+
+def _q_repetition_sql():
+    return r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(range(1, len(t)),
+                                          i -> array_to_string(t[i:i+1], ' '))
+                      ELSE [] END AS grams
+          FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS INTEGER) AS n_grams,
+               CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+               round(CASE WHEN len(grams) > 0
+                          THEN (len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE)
+                          ELSE 0.0 END, 6) AS rep_ratio
+        FROM g
+    """
+
+
 def q_embedding_dups(spark, sf_dir):
     """All-pairs-within-block near-dup (the small-scale oracle shape;
     q:embedding_dups_lsh is the scale path).  The corpus is augmented
@@ -1176,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "top_ngrams": q_top_ngrams,
+        "repetition": q_repetition,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_sharded": q_pack_sequences_sharded,
@@ -1211,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _q_lang_id_sql(),
         "ngram_jaccard": _q_ngram_jaccard_sql(),
         "top_ngrams": _q_top_ngrams_sql(),
+        "repetition": _q_repetition_sql(),
         "stratified_sample": _q_stratified_sample_sql(),
         "pack_sequences": _q_pack_sequences_sql(),
         "pack_sequences_sharded": _q_pack_sequences_sharded_sql(),

@@ -111,6 +111,43 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     collapsed — the canonical near-exact-dedup key."""
     return docs.select("doc_id", fingerprint_col("text").alias("fingerprint"))
 
+def _word_ngrams(n: int):
+    """array<string> Column of a doc's word n-grams — ONE definition
+    shared by ``top_ngrams`` and ``repetition_scores``.  Guarded by a
+    ``when`` so a doc shorter than n contributes an EMPTY array (never
+    a descending ``sequence``)."""
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_scores(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, n_grams, n_distinct, rep_ratio): the fraction of a
+    doc's word n-grams that are repeats of an earlier n-gram in the
+    same doc — the Gopher-style repetition quality signal (a high
+    rep_ratio marks boilerplate/spam for filtering).  rep_ratio is 0.0
+    for docs with fewer than n tokens.
+
+    Pure per-row column expressions (whole-stage codegen): no explode,
+    no shuffle — the n-gram array never leaves its row."""
+    grams = _word_ngrams(n)
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.round(
+            F.when(n_grams > 0, (n_grams - n_distinct) / n_grams).otherwise(0.0), 6
+        ).alias("rep_ratio"),
+    )
+
+
 def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     """(ngram, cnt, rank): the k most frequent word n-grams of the
     corpus — the vocabulary/phrase-stats pass of a training-data
@@ -123,16 +160,8 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     ``sequence``), counts via map-side-combined groupBy, and the global
     top-k compiles to TakeOrderedAndProject (per-partition partial
     top-k; no single-partition sort)."""
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(grams).alias("ngram"))
+        docs.select(F.explode(_word_ngrams(n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "ngram")

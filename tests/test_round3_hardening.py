@@ -669,3 +669,28 @@ def test_decompose_polygons_rejects_bad_on_error(spark):
     df = spark.createDataFrame([], POLYGONS_SCHEMA)
     with pytest.raises(ValueError, match="on_error"):
         decompose_polygons(df, on_error="ignore")
+
+
+def test_repetition_scores_edges(spark):
+    from simplepolygon_spark.operators.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            ("a", "spam spam spam spam"),        # 3 bigrams, 1 distinct
+            ("b", "all words differ here"),       # 3 bigrams, 3 distinct
+            ("c", "one"),                         # < n tokens
+            ("d", ""),
+            ("e", None),
+        ],
+        "doc_id string, text string",
+    )
+    r = {x.doc_id: x for x in repetition_scores(df, n=2).collect()}
+    assert (r["a"].n_grams, r["a"].n_distinct) == (3, 1)
+    assert r["a"].rep_ratio == pytest.approx(2 / 3, abs=1e-6)
+    assert r["b"].rep_ratio == 0.0
+    assert (r["c"].n_grams, r["c"].rep_ratio) == (0, 0.0)
+    assert (r["d"].n_grams, r["d"].rep_ratio) == (0, 0.0)
+    assert (r["e"].n_grams, r["e"].rep_ratio) == (0, 0.0)
+    # no explode, no shuffle in the plan
+    plan = _plan(repetition_scores(df, n=2))
+    assert "Exchange" not in plan and "Generate" not in plan
