@@ -682,6 +682,55 @@ def _q_repetition_sql():
     """
 
 
+_HAM_A = 0x0123456789ABCDE  # 60-bit planted base signature
+_HAM_B = _HAM_A ^ 1  # hamming 1 vs A
+_HAM_C = _HAM_A ^ (1 << 5) ^ (1 << 17) ^ (1 << 33) ^ (1 << 49)  # 4 vs A, 5 vs B
+
+
+def q_hamming_dups(spark, sf_dir):
+    """Generic 64-bit banded-Hamming near-dup join (the machinery
+    behind phash_dup_pairs image dedup and simhash text dedup),
+    value-gated end to end: signatures are the first 15 md5 hex chars
+    of each doc (deterministic, engine-portable, 60 bits so the long
+    cast cannot overflow under ANSI), plus three PLANTED literal sigs
+    at hamming 1/4/5 so the gate is non-vacuous — organic md5 sigs
+    only pair at hamming 0 (exact-dup texts; avalanche puts everything
+    else at ~30 bits).  The hamming-5 pair must be absent at
+    max_hamming=4."""
+    from simplepolygon_spark.operators.dedup import banded_hamming_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    sigs = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long").alias("sig"),
+    )
+    planted = spark.createDataFrame(
+        [(-1, _HAM_A), (-2, _HAM_B), (-3, _HAM_C)], "doc_id long, sig long"
+    )
+    return banded_hamming_pairs(
+        sigs.unionByName(planted), "sig", "doc_id", max_hamming=4
+    ).orderBy("id_a", "id_b")
+
+
+def _q_hamming_dups_sql():
+    return rf"""
+        WITH sigs AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_transform(string_split(substr(md5(text), 1, 15), ''),
+                                  c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1),
+                   (a, b) -> a * 16 + b) AS sig
+          FROM documents
+          UNION ALL
+          SELECT * FROM (VALUES (-1, {_HAM_A}), (-2, {_HAM_B}), (-3, {_HAM_C})) t(doc_id, sig)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 4
+    """
+
+
 def q_embedding_dups(spark, sf_dir):
     """All-pairs-within-block near-dup (the small-scale oracle shape;
     q:embedding_dups_lsh is the scale path).  The corpus is augmented
@@ -1212,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "top_ngrams": q_top_ngrams,
         "repetition": q_repetition,
+        "hamming_dups": q_hamming_dups,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_sharded": q_pack_sequences_sharded,
@@ -1248,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _q_ngram_jaccard_sql(),
         "top_ngrams": _q_top_ngrams_sql(),
         "repetition": _q_repetition_sql(),
+        "hamming_dups": _q_hamming_dups_sql(),
         "stratified_sample": _q_stratified_sample_sql(),
         "pack_sequences": _q_pack_sequences_sql(),
         "pack_sequences_sharded": _q_pack_sequences_sharded_sql(),

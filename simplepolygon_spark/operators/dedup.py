@@ -515,6 +515,76 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming) over ANY 64-bit signature
+    column — the generic banded-Hamming join: pigeonhole over
+    ``n_bands`` (default max_hamming+1, giving recall exactly 1: a pair
+    differing in ≤ max_hamming bits cannot differ in every one of
+    max_hamming+1 bands), candidates via one posexplode melt + one
+    (band, key) equi-join, verified by exact popcount.  All JVM-side —
+    band keys are shift/mask column expressions, no Arrow pass.
+
+    ``simhash_dup_pairs`` is this join over text SimHash;
+    ``phash_dup_pairs`` is this join over the image perceptual hash."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if not (1 <= n_bands <= 64):
+        raise ValueError(f"n_bands ({n_bands}) must be in [1, 64]")
+    w = 64 // n_bands
+    keys = []
+    for i in range(n_bands):
+        lo = i * w
+        bits = (64 - lo) if i == n_bands - 1 else w  # last band takes the
+        mask = (1 << bits) - 1  # remainder — any partition pigeonholes
+        keys.append(
+            F.shiftrightunsigned(F.col(sig_col), lo)
+            .bitwiseAND(F.lit(mask))
+            .cast("long")
+        )
+    melted = sigs.select(
+        id_col, sig_col, F.posexplode(F.array(*keys)).alias("band", "bk")
+    )
+    a = melted.select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"), "band", "bk"
+    )
+    b = melted.select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"), "band", "bk"
+    )
+    pairs = (
+        a.join(b, ["band", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .drop("band", "bk")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def phash_dup_pairs(images: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    the multimodal dedup modality: (image_a, image_b, hamming ≤
+    max_hamming) over the images table's 64-bit ``phash`` column
+    (sources/images.py).  Same banded join as q:simhash (recall 1 by
+    pigeonhole, exact popcount verify), signatures-only shuffle — the
+    byte column is never touched."""
+    out = banded_hamming_pairs(
+        images.select("image_id", "phash"), "phash", "image_id", max_hamming
+    )
+    return out.select(
+        F.col("id_a").alias("image_a"),
+        F.col("id_b").alias("image_b"),
+        "hamming",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------

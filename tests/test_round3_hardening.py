@@ -694,3 +694,68 @@ def test_repetition_scores_edges(spark):
     # no explode, no shuffle in the plan
     plan = _plan(repetition_scores(df, n=2))
     assert "Exchange" not in plan and "Generate" not in plan
+
+
+def test_banded_hamming_pairs_equals_brute_force(spark):
+    """The generic 64-bit banded-Hamming join must equal the all-pairs
+    popcount answer exactly — including negative signatures (sign bit
+    set) and the remainder band when n_bands does not divide 64."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    base = rng.getrandbits(64)
+
+    def flip(sig, k):
+        s = sig
+        for b in rng.sample(range(64), k):
+            s ^= 1 << b
+        return s
+
+    sigs = [base, flip(base, 1), flip(base, 3), flip(base, 17), rng.getrandbits(64)]
+    sigs += [rng.getrandbits(64) for _ in range(20)]
+    to_i64 = lambda u: u - (1 << 64) if u >= 1 << 63 else u
+    rows = [(i, to_i64(s)) for i, s in enumerate(sigs)]
+
+    from simplepolygon_spark.operators.dedup import banded_hamming_pairs
+
+    for h, nb in ((3, None), (4, None), (5, 7)):  # 7 bands: 64 % 7 != 0
+        df = spark.createDataFrame(rows, "id long, sig long")
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in banded_hamming_pairs(df, "sig", "id", h, n_bands=nb).collect()
+        }
+        expect = {
+            (i, j, bin((sigs[i] ^ sigs[j])).count("1"))
+            for i, j in itertools.combinations(range(len(sigs)), 2)
+            if bin(sigs[i] ^ sigs[j]).count("1") <= h
+        }
+        assert got == expect, (h, nb)
+
+
+def test_phash_dup_pairs_finds_planted_image_dups(spark):
+    from simplepolygon_spark.operators.dedup import phash_dup_pairs
+    from simplepolygon_spark.sources.images import images_df
+
+    imgs = images_df(spark, 50, partitions=2, with_bytes=False)
+    # organic phashes are blake2b-derived — random pairs sit at ~32 bits
+    # apart, so nothing organic qualifies at <=4; plant two near-dups
+    base = imgs.where(F.col("image_id") == "img000000007").select("phash").head().phash
+    planted = spark.createDataFrame(
+        [("dupA", base ^ (1 << 5)), ("dupB", base ^ (1 << 5) ^ (1 << 44))],
+        "image_id string, phash long",
+    )
+    allimg = imgs.select("image_id", "phash").unionByName(planted)
+    got = {
+        (r.image_a, r.image_b, r.hamming)
+        for r in phash_dup_pairs(allimg, max_hamming=4).collect()
+    }
+    assert ("dupA", "img000000007", 1) in {(a, b, h) for a, b, h in got} or (
+        "img000000007",
+        "dupA",
+        1,
+    ) in got
+    assert any({a, b} == {"dupA", "dupB"} and h == 1 for a, b, h in got)
+    assert any({a, b} == {"dupB", "img000000007"} and h == 2 for a, b, h in got)
+    # nothing organic within 4 bits
+    assert all({a, b} & {"dupA", "dupB", "img000000007"} for a, b, h in got)
