@@ -536,12 +536,27 @@ def banded_hamming_pairs(
         n_bands = max_hamming + 1
     if not (1 <= n_bands <= 64):
         raise ValueError(f"n_bands ({n_bands}) must be in [1, 64]")
+    if n_bands <= max_hamming:
+        # pigeonhole needs max_hamming+1 bands: with fewer, a pair can
+        # put one differing bit in EVERY band and silently vanish from
+        # the candidates — a recall<1 banding must be an explicit
+        # different function, never this one's silent behavior
+        raise ValueError(
+            f"n_bands ({n_bands}) must exceed max_hamming ({max_hamming}) "
+            "for the recall-1 pigeonhole guarantee"
+        )
     w = 64 // n_bands
     keys = []
     for i in range(n_bands):
         lo = i * w
         bits = (64 - lo) if i == n_bands - 1 else w  # last band takes the
-        mask = (1 << bits) - 1  # remainder — any partition pigeonholes
+        # remainder — any partition pigeonholes.  bits=64 (n_bands=1,
+        # i.e. exact-equality join) cannot be a mask literal (2^64-1
+        # overflows a Spark long): the unshifted column IS the key.
+        if bits >= 64:
+            keys.append(F.col(sig_col).cast("long"))
+            continue
+        mask = (1 << bits) - 1
         keys.append(
             F.shiftrightunsigned(F.col(sig_col), lo)
             .bitwiseAND(F.lit(mask))

@@ -141,18 +141,16 @@ def decompose_geojson(
     assembled = rings_out.groupBy(id_col).applyInPandas(assemble, schema)
     # a feature with coordinates: [] produces ZERO ring rows (the
     # reference's fast path yields an empty FeatureCollection), so its
-    # group never reaches assemble — join the input ids back and fill
-    # the gap with the same empty FC json.dumps would emit, instead of
-    # silently dropping the row
+    # group never reaches assemble — union those (typically zero) rows
+    # back with the same empty FC json.dumps would emit, instead of
+    # silently dropping them.  A union of the filtered edge rows, NOT a
+    # distinct+left-join over every id: the join would shuffle the
+    # whole id set to patch a rare case (and per-row union also keeps
+    # duplicate-id inputs producing one output row each, like the
+    # reference does)
     empty_fc = json.dumps({"type": "FeatureCollection", "features": []})
-    return (
-        parsed.select(F.col("polygon_id").alias(id_col))
-        .distinct()
-        .join(assembled, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("feature_collection", F.lit(empty_fc)).alias(
-                "feature_collection"
-            ),
-        )
+    empties = parsed.filter(F.size("rings") == 0).select(
+        F.col("polygon_id").alias(id_col),
+        F.lit(empty_fc).alias("feature_collection"),
     )
+    return assembled.unionByName(empties)

@@ -40,6 +40,17 @@ def _emb_matrix(arr) -> np.ndarray:
             f"{arr.null_count} NULL embedding(s) in batch — filter or "
             "impute upstream; a NULL would silently misalign the matrix"
         )
+    offs = getattr(arr, "offsets", None)
+    if offs is not None:
+        # per-row lengths from the list offsets: catches ragged batches
+        # whose TOTAL happens to divide n (e.g. lengths 127+129 reshaped
+        # as 2×128 — every row silently wrong)
+        lens = np.diff(offs.to_numpy(zero_copy_only=False))
+        if lens.size and (lens != lens[0]).any():
+            raise ValueError(
+                f"ragged embeddings in batch: lengths "
+                f"{int(lens.min())}..{int(lens.max())}"
+            )
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
     if flat.size % n != 0:

@@ -305,13 +305,31 @@ def start_banded_near_dedup(
     )
 
 
-# per-(process, out_dir) committed-batch cache for the streaming
-# lineage sink — see assign_with_lineage_batch's docstring
-_COMMITTED_BATCHES: dict[str, set[str]] = {}
+# per-(process, out_dir, stream_id) committed-batch cache for the
+# streaming lineage sink — see assign_with_lineage_batch's docstring
+_COMMITTED_BATCHES: dict[tuple, set[str]] = {}
+
+
+def stream_id_for(checkpoint_dir: str) -> str:
+    """Stable identity of one logical stream: micro-batch ids restart
+    at 0 with every new checkpoint, so the exactly-once batch key must
+    carry WHICH stream the batch id belongs to — keyed on batch_id
+    alone, re-ingesting new data into an out_dir that an earlier stream
+    (different checkpoint) already wrote would silently no-op its
+    batches 0..N as 'replays'."""
+    import hashlib
+    import os
+
+    return hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
 
 
 def assign_with_lineage_batch(
-    batch_df: DataFrame, batch_id: int, index_bc, out_dir: str, num_parts: int = 64
+    batch_df: DataFrame,
+    batch_id: int,
+    index_bc,
+    out_dir: str,
+    num_parts: int = 64,
+    stream_id: str = "s0",
 ) -> None:
     """One micro-batch of the streaming ingest→assign→commit pipeline:
     PIP tile assignment (same broadcast index + Arrow kernel as the
@@ -321,9 +339,13 @@ def assign_with_lineage_batch(
     Exactly-once across micro-batch REPLAYS, by the same commit-point
     argument as the batch pipeline (plans/lineage.py):
 
-    * run_id = ``b<batch_id>-<fresh attempt suffix>``.  A replayed batch
-      first checks the lineage log for ANY committed run of this
-      batch_id and no-ops if found.  The any-row check is sound because
+    * run_id = ``b<stream_id>x<batch_id>-<fresh attempt suffix>``
+      (``stream_id`` from ``stream_id_for(checkpoint_dir)`` — batch ids
+      restart at 0 per checkpoint, so the key must carry the stream
+      identity or an out_dir reused by a NEW stream would treat its
+      first batches as replays and silently drop them).  A replayed
+      batch first checks the lineage log for ANY committed run of this
+      (stream, batch) and no-ops if found.  The any-row check is sound because
       ``write_with_lineage`` publishes one run's lineage rows as a
       SINGLE file — the commit is all-or-nothing, so "any row exists"
       implies every part of the attempt committed.
@@ -351,8 +373,8 @@ def assign_with_lineage_batch(
     from ..plans.lineage import LINEAGE_SUBDIR, with_part_id, write_with_lineage
 
     spark = batch_df.sparkSession
-    bkey = f"b{int(batch_id):012d}"
-    done = _COMMITTED_BATCHES.get(out_dir)
+    bkey = f"b{stream_id}x{int(batch_id):012d}"
+    done = _COMMITTED_BATCHES.get((out_dir, stream_id))
     if done is None:
         try:
             rows = (
@@ -368,14 +390,24 @@ def assign_with_lineage_batch(
             }
         except AnalysisException:
             done = set()  # no lineage log yet; other errors must propagate
-        _COMMITTED_BATCHES[out_dir] = done
+        _COMMITTED_BATCHES[(out_dir, stream_id)] = done
     if bkey in done:
         return  # replay of an already-committed micro-batch
 
     asg = with_part_id(pip_join(batch_df, index_bc), "image_id", num_parts).persist()
     try:
         part_ids = [r.part_id for r in asg.select("part_id").distinct().collect()]
-        write_with_lineage(asg, out_dir, f"{bkey}-{uuid.uuid4().hex[:8]}", part_ids)
+        # check_duplicate_run=False: the attempt suffix is a fresh uuid
+        # and the done-set already gates replays — skipping the guard's
+        # per-commit lineage-log read keeps a long-lived stream's cost
+        # O(1) per batch instead of O(committed batches)
+        write_with_lineage(
+            asg,
+            out_dir,
+            f"{bkey}-{uuid.uuid4().hex[:8]}",
+            part_ids,
+            check_duplicate_run=False,
+        )
         if part_ids:
             done.add(bkey)  # empty batches commit nothing — don't mark
     finally:
@@ -395,10 +427,11 @@ def start_assign_with_lineage(
     ``plans.lineage.read_result`` — the SAME reader as the batch
     pipeline, so downstream consumers cannot tell which mode produced
     the table.  Returns the started StreamingQuery."""
+    sid = stream_id_for(checkpoint_dir)
     return (
         feed.writeStream.foreachBatch(
             lambda df, bid: assign_with_lineage_batch(
-                df, bid, index_bc, out_dir, num_parts
+                df, bid, index_bc, out_dir, num_parts, stream_id=sid
             )
         )
         .option("checkpointLocation", checkpoint_dir)

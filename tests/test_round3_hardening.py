@@ -747,15 +747,39 @@ def test_phash_dup_pairs_finds_planted_image_dups(spark):
     )
     allimg = imgs.select("image_id", "phash").unionByName(planted)
     got = {
-        (r.image_a, r.image_b, r.hamming)
+        (frozenset((r.image_a, r.image_b)), r.hamming)
         for r in phash_dup_pairs(allimg, max_hamming=4).collect()
     }
-    assert ("dupA", "img000000007", 1) in {(a, b, h) for a, b, h in got} or (
-        "img000000007",
-        "dupA",
-        1,
-    ) in got
-    assert any({a, b} == {"dupA", "dupB"} and h == 1 for a, b, h in got)
-    assert any({a, b} == {"dupB", "img000000007"} and h == 2 for a, b, h in got)
-    # nothing organic within 4 bits
-    assert all({a, b} & {"dupA", "dupB", "img000000007"} for a, b, h in got)
+    # EXACTLY the three planted pairs — an unexpected organic near-dup
+    # (or a missed planted one) must fail, not slip past a loose check
+    assert got == {
+        (frozenset(("dupA", "img000000007")), 1),
+        (frozenset(("dupA", "dupB")), 1),
+        (frozenset(("dupB", "img000000007")), 2),
+    }
+
+
+def test_banded_hamming_guards_and_exact_join_mode(spark):
+    from simplepolygon_spark.operators.dedup import banded_hamming_pairs
+
+    df = spark.createDataFrame(
+        [(1, 42), (2, 42), (3, 43)], "id long, sig long"
+    )
+    # recall-1 pigeonhole requires n_bands > max_hamming
+    with pytest.raises(ValueError, match="must exceed max_hamming"):
+        banded_hamming_pairs(df, "sig", "id", max_hamming=4, n_bands=4)
+    # max_hamming=0 → single 64-bit band → exact-equality join (the
+    # 2^64-1 mask literal would overflow a Spark long; raw column key)
+    got = {(r.id_a, r.id_b, r.hamming) for r in
+           banded_hamming_pairs(df, "sig", "id", max_hamming=0).collect()}
+    assert got == {(1, 2, 0)}
+
+
+def test_emb_matrix_rejects_compensating_ragged_lengths():
+    import pyarrow as pa
+
+    from simplepolygon_spark.operators.similarity import _emb_matrix
+
+    # 3 + 5 = 8 = 2 rows x 4: total divides, per-row lengths don't
+    with pytest.raises(ValueError, match="ragged"):
+        _emb_matrix(pa.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0, 7.0, 8.0]]))

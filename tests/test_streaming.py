@@ -259,6 +259,7 @@ def test_stream_assign_with_lineage_exactly_once(spark, tmp_path):
     from simplepolygon_spark.streaming.feed import (
         assign_with_lineage_batch,
         start_assign_with_lineage,
+        stream_id_for,
     )
 
     feed_dir = str(tmp_path / "lfeed")
@@ -292,7 +293,8 @@ def test_stream_assign_with_lineage_exactly_once(spark, tmp_path):
 
     # replay of an already-committed micro-batch: exactly-once no-op
     batch0 = spark.read.parquet(feed_dir)
-    assign_with_lineage_batch(batch0, 0, bc, out_dir, num_parts=8)
+    sid = stream_id_for(str(tmp_path / "lckpt"))
+    assign_with_lineage_batch(batch0, 0, bc, out_dir, num_parts=8, stream_id=sid)
     assert committed() == expect
 
     # crashed attempt of a NEW batch: data written under an attempt
@@ -302,17 +304,17 @@ def test_stream_assign_with_lineage_exactly_once(spark, tmp_path):
     )
     orphan = (
         with_part_id(pip_join(nb, bc), "image_id", 8)
-        .withColumn("run_id", F.lit(f"b{1:012d}-{uuid.uuid4().hex[:8]}"))
+        .withColumn("run_id", F.lit(f"b{sid}x{1:012d}-{uuid.uuid4().hex[:8]}"))
     )
     orphan.write.mode("append").partitionBy("part_id", "run_id").parquet(
         os.path.join(out_dir, DATA_SUBDIR)
     )
     assert committed() == expect  # orphans never surface
-    assign_with_lineage_batch(nb, 1, bc, out_dir, num_parts=8)
+    assign_with_lineage_batch(nb, 1, bc, out_dir, num_parts=8, stream_id=sid)
     expect2 = expect | {
         (r.image_id, r.polygon_id, r.ring_index) for r in pip_join(nb, bc).collect()
     }
     assert committed() == expect2
     # and a replay of batch 1 after the successful commit: no-op again
-    assign_with_lineage_batch(nb, 1, bc, out_dir, num_parts=8)
+    assign_with_lineage_batch(nb, 1, bc, out_dir, num_parts=8, stream_id=sid)
     assert committed() == expect2
