@@ -133,17 +133,29 @@ def repetition_scores(docs: DataFrame, n: int = 2) -> DataFrame:
     rep_ratio marks boilerplate/spam for filtering).  rep_ratio is 0.0
     for docs with fewer than n tokens.
 
-    Pure per-row column expressions (whole-stage codegen): no explode,
-    no shuffle — the n-gram array never leaves its row."""
-    grams = _word_ngrams(n)
-    n_grams = F.size(grams)
-    n_distinct = F.size(F.array_distinct(grams))
-    return docs.select(
+    Per-row JVM higher-order expressions: no explode, no shuffle — the
+    n-gram array never leaves its row.  Built as THREE stacked
+    projections so the gram transform and the two counts each evaluate
+    ONCE per row: a single flat select would inline the (non-cheap)
+    transform into every one of its ~8 references, and Catalyst's
+    CollapseProject correctly declines to merge projects when that
+    would duplicate expensive expressions."""
+    g = docs.select("doc_id", _word_ngrams(n).alias("__grams"))
+    c = g.select(
         "doc_id",
-        n_grams.alias("n_grams"),
-        n_distinct.alias("n_distinct"),
+        F.size("__grams").alias("n_grams"),
+        F.size(F.array_distinct("__grams")).alias("n_distinct"),
+    )
+    return c.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
         F.round(
-            F.when(n_grams > 0, (n_grams - n_distinct) / n_grams).otherwise(0.0), 6
+            F.when(
+                F.col("n_grams") > 0,
+                (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams"),
+            ).otherwise(0.0),
+            6,
         ).alias("rep_ratio"),
     )
 
