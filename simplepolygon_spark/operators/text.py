@@ -50,19 +50,37 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     score = 0.4·len_norm + 0.3·(1−punct_ratio) + 0.3·stop_ratio — a
     deterministic heuristic in the spirit of C4/Gopher quality rules.
     """
-    toks = F.split(F.lower(F.trim("text")), "\\s+")
+    # stacked projections so the tokenization runs ONCE per row: the
+    # higher-order filter() blocks whole-stage codegen (and with it
+    # runtime subexpression elimination), so a flat select would
+    # re-split the text for every column that references the tokens —
+    # CollapseProject correctly keeps non-cheap aliased expressions
+    # un-inlined across these stages
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tok = _null_safe_size(toks)
-    n_stop = _null_safe_size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
-    n_punct = F.regexp_count("text", F.lit("[^a-zA-Z0-9\\s]"))
-    n_chars = F.length("text")
-    len_norm = F.least(n_chars / F.lit(500.0), F.lit(1.0))
-    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
-    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
-    return docs.select(
+    toked = docs.select(
         "doc_id",
-        n_chars.alias("n_chars_m"),
-        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+        F.regexp_count("text", F.lit("[^a-zA-Z0-9\\s]")).alias("__n_punct"),
+        F.col("text").isNull().alias("__null_text"),
+        F.split(F.lower(F.trim("text")), "\\s+").alias("__toks"),
+    )
+    counts = toked.select(
+        "doc_id",
+        "n_chars_m",
+        "__n_punct",
+        F.when(~F.col("__null_text"), F.size("__toks")).alias("n_tokens"),
+        F.when(
+            ~F.col("__null_text"),
+            F.size(F.filter("__toks", lambda x: F.array_contains(stop_arr, x))),
+        ).alias("__n_stop"),
+    )
+    len_norm = F.least(F.col("n_chars_m") / F.lit(500.0), F.lit(1.0))
+    punct_ratio = F.col("__n_punct") / F.greatest(F.col("n_chars_m"), F.lit(1))
+    stop_ratio = F.col("__n_stop") / F.greatest(F.col("n_tokens"), F.lit(1))
+    return counts.select(
+        "doc_id",
+        "n_chars_m",
+        "n_tokens",
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(
