@@ -584,10 +584,15 @@ def _q_decontaminate_sql():
         "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
         " ' +', ' ', 'g')))"
     )
+    # NOT EXISTS, not NOT IN: Spark's left_anti keeps rows whose join
+    # key matches nothing (NULL fingerprints survive), while NOT IN is
+    # NULL-poisoned — one NULL-text benchmark row would empty the whole
+    # result and silently diverge from the operator
     return f"""
         WITH fp AS (SELECT doc_id, {norm} AS f FROM documents)
         SELECT doc_id FROM fp
-        WHERE f NOT IN (SELECT DISTINCT f FROM fp WHERE doc_id % 10 = 0)
+        WHERE NOT EXISTS (SELECT 1 FROM fp b
+                          WHERE b.doc_id % 10 = 0 AND b.f = fp.f)
     """
 
 

@@ -149,7 +149,13 @@ def decontaminate(
     fingerprint is computed IN the train scan (a column, not a join —
     joining the corpus back to itself would shuffle 100 TB); the
     benchmark fingerprint dim is broadcast and the anti-join is
-    therefore shuffle-free on the fact side."""
+    therefore shuffle-free on the fact side.
+
+    NULL semantics (anti-join): a NULL-text train row has a NULL
+    fingerprint, matches nothing, and SURVIVES — and a NULL in the
+    benchmark blocks nothing (unlike SQL ``NOT IN``, which one NULL
+    poisons into an empty result; the oracle uses NOT EXISTS to
+    match)."""
     # internal key column — a caller's own "fingerprint" column (an
     # upstream content hash, say) must come back untouched
     fp = "__decon_fp"
