@@ -170,7 +170,15 @@ def minhash_doc_sigs(
                 names=["doc_id", "sig"],
             )
 
-    return docs.select("doc_id", "text").mapInArrow(run, schema)
+    # NULL text has no signature: exclude it SQL-side (the vectorized
+    # kernel would crash on None) — NULL-text rows simply never join
+    # the dedup candidate graph, consistent with the anti-join NULL
+    # contract in sampling.decontaminate
+    return (
+        docs.select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+        .mapInArrow(run, schema)
+    )
 
 
 def _band_buckets_from_sigs(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -483,7 +491,15 @@ def simhash_64(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "simhash", *SIMHASH_BAND_COLS],
             )
 
-    return docs.select("doc_id", "text").mapInArrow(run, schema)
+    # NULL text has no signature: exclude it SQL-side (the vectorized
+    # kernel would crash on None) — NULL-text rows simply never join
+    # the dedup candidate graph, consistent with the anti-join NULL
+    # contract in sampling.decontaminate
+    return (
+        docs.select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+        .mapInArrow(run, schema)
+    )
 
 
 def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -111,7 +111,12 @@ def dedupe_near_feed(doc_feed: DataFrame, watermark: str = "10 minutes") -> Data
                 names=["doc_id", "text", "ts", "simhash"],
             )
 
-    sigs = doc_feed.select("doc_id", "text", "ts").mapInArrow(run, schema)
+    # NULL text has no signature — exclude SQL-side (kernel would crash)
+    sigs = (
+        doc_feed.select("doc_id", "text", "ts")
+        .where(F.col("text").isNotNull())
+        .mapInArrow(run, schema)
+    )
     return sigs.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["simhash"]
     )
@@ -151,7 +156,12 @@ def _with_simhash_bands(docs: DataFrame) -> DataFrame:
                 names=["doc_id", "text", "ts", "simhash", *SIMHASH_BAND_COLS],
             )
 
-    return docs.select("doc_id", "text", "ts").mapInArrow(run, schema)
+    # NULL text has no signature — exclude SQL-side (kernel would crash)
+    return (
+        docs.select("doc_id", "text", "ts")
+        .where(F.col("text").isNotNull())
+        .mapInArrow(run, schema)
+    )
 
 
 def banded_dedup_batch(

@@ -783,3 +783,25 @@ def test_emb_matrix_rejects_compensating_ragged_lengths():
     # 3 + 5 = 8 = 2 rows x 4: total divides, per-row lengths don't
     with pytest.raises(ValueError, match="ragged"):
         _emb_matrix(pa.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0, 7.0, 8.0]]))
+
+
+def test_signature_kernels_skip_null_text(spark):
+    """NULL text has no signature: the Arrow kernels must exclude it
+    (previously: AttributeError crash inside the worker), and NULL-text
+    rows never enter the dedup candidate graph."""
+    from simplepolygon_spark.operators.dedup import (
+        minhash_doc_sigs,
+        ngram_jaccard_pairs,
+        simhash_64,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    assert {r.doc_id for r in simhash_64(d).collect()} == {1, 3}
+    assert {r.doc_id for r in minhash_doc_sigs(d).collect()} == {1, 3}
+    pairs = ngram_jaccard_pairs(
+        d.withColumn("source", F.lit(0)), block_col="source"
+    ).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 3)}
