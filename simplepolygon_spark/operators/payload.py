@@ -106,18 +106,31 @@ def validate_rows(ids, bts, fmts, caps):
     contract — shared by ``validate_payload`` and the fused
     validate+assign pass so the two can never drift apart.
 
-    Returns (psnr_db float64 array, caption_ok bool array)."""
+    Returns (psnr_db float64 array, caption_ok bool array).
+
+    A row whose payload cannot be decoded at all (NULL bytes, truncated
+    container, malformed id) is REPORTED — psnr_db = NaN,
+    caption_ok = False — never raised: one corrupt row in a dirty
+    corpus must not kill the validation job whose purpose is finding
+    such rows.  (Unknown-codec NotImplementedError still raises: that
+    is a configuration error, not dirty data.)"""
     n = len(ids)
     ps = np.empty(n, dtype=np.float64)
     cap_ok = np.empty(n, dtype=bool)
     for k in range(n):
-        i = int(ids[k][3:])
-        px = decode_image(bts[k], fmts[k])
-        orig = pixels_of(i, px.shape[1], px.shape[0])
-        p = psnr(px, orig)
-        ps[k] = 1e9 if p == float("inf") else p
-        digest = hashlib.blake2b(ids[k].encode()).digest()
-        cap_ok[k] = caps[k] == f"synthetic image {i} :: {digest[:12].hex()}"
+        try:
+            i = int(ids[k][3:])
+            px = decode_image(bts[k], fmts[k])
+            orig = pixels_of(i, px.shape[1], px.shape[0])
+            p = psnr(px, orig)
+            ps[k] = 1e9 if p == float("inf") else p
+            digest = hashlib.blake2b(ids[k].encode()).digest()
+            cap_ok[k] = caps[k] == f"synthetic image {i} :: {digest[:12].hex()}"
+        except NotImplementedError:
+            raise  # missing codec is a config error, not a bad row
+        except Exception:
+            ps[k] = np.nan
+            cap_ok[k] = False
     return ps, cap_ok
 
 

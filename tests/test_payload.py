@@ -103,3 +103,36 @@ def test_decode_features_and_resize(spark):
     for r in rs:
         px = decode_image(bytes(r.bytes), r.fmt)
         assert px.shape == (8, 8, 3)
+
+
+def test_validate_reports_corrupt_rows_instead_of_failing(spark):
+    """One NULL/truncated payload must yield a (NaN, False) verdict row,
+    not kill the validation job."""
+    import math
+
+    from simplepolygon_spark.operators.payload import validate_payload
+    from simplepolygon_spark.sources.images import encode_image
+
+    import hashlib as hl
+
+    def row(i, data):
+        iid = f"img{i:09d}"
+        digest = hl.blake2b(iid.encode()).digest()
+        cap = f"synthetic image {i} :: {digest[:12].hex()}"
+        return (iid, data, "raw", cap)
+
+    good_bytes, w, h, fmt = encode_image(1)
+    rows = [
+        (f"img{1:09d}", good_bytes, fmt,
+         f"synthetic image 1 :: {hl.blake2b(b'img000000001').digest()[:12].hex()}"),
+        row(2, None),                 # NULL bytes
+        row(3, b"SPIMgarbage"),       # truncated container
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, caption string"
+    )
+    got = {r.image_id: r for r in validate_payload(df).collect()}
+    assert len(got) == 3
+    assert got["img000000001"].psnr_db > 40 and got["img000000001"].caption_ok
+    for bad in ("img000000002", "img000000003"):
+        assert math.isnan(got[bad].psnr_db) and not got[bad].caption_ok
