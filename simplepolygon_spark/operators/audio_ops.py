@@ -12,6 +12,7 @@ import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def audio_features(clips: DataFrame) -> DataFrame:
@@ -54,7 +55,12 @@ def audio_features(clips: DataFrame) -> DataFrame:
                 names=["clip_id", "duration_sec", "rms", "peak", "zero_cross_rate"],
             )
 
-    return clips.select("clip_id", "bytes", "fmt").mapInArrow(run, schema)
+    # NULL bytes carry no audio — exclude SQL-side (header parse crash)
+    return (
+        clips.select("clip_id", "bytes", "fmt")
+        .where(F.col("bytes").isNotNull())
+        .mapInArrow(run, schema)
+    )
 
 
 def sample_segments(clips: DataFrame, n_segments: int = 3, seg_samples: int = 1600) -> DataFrame:
@@ -110,4 +116,9 @@ def sample_segments(clips: DataFrame, n_segments: int = 3, seg_samples: int = 16
                 names=list(out),
             )
 
-    return clips.select("clip_id", "bytes", "fmt").mapInArrow(run, schema)
+    # NULL bytes carry no audio — exclude SQL-side (header parse crash)
+    return (
+        clips.select("clip_id", "bytes", "fmt")
+        .where(F.col("bytes").isNotNull())
+        .mapInArrow(run, schema)
+    )

@@ -696,9 +696,12 @@ def srp_signatures(
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             if len(ids) == 0:
                 continue
-            arr = batch.column(vec_col)
-            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            X = flat.reshape(len(ids), -1)
+            # shared guard: NULL/ragged vectors are rejected loudly —
+            # flatten() silently skips nulls and would misalign the
+            # matrix (see similarity._emb_matrix)
+            from .similarity import _emb_matrix
+
+            X = _emb_matrix(batch.column(vec_col))
             d = X.shape[1]
             H = planes.get(d)
             if H is None:

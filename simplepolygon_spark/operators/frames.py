@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def sample_indices(n_frames: int, n_samples: int) -> list[int]:
@@ -78,6 +79,11 @@ def sample_frames(videos: DataFrame, n_samples: int = 4) -> DataFrame:
                 names=list(out),
             )
 
-    return videos.select(
-        "video_id", "bytes", "fmt", "caption"
-    ).mapInArrow(run, schema)
+    # NULL bytes carry no frames — exclude SQL-side (the header parse
+    # would crash the worker); a present-but-corrupt container still
+    # raises, caught by validate-first pipelines
+    return (
+        videos.select("video_id", "bytes", "fmt", "caption")
+        .where(F.col("bytes").isNotNull())
+        .mapInArrow(run, schema)
+    )
