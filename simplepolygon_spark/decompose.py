@@ -81,8 +81,15 @@ def decompose(rings: list) -> list[dict[str, Any]]:
     closed: list[list[list[float]]] = []
     vertices: list[list[float]] = []
     for ring in rings:
+        if ring is None:
+            # a NULL ring element inside the coordinates array (typed
+            # error, not a TypeError — on_error='skip' must drop it)
+            raise DecomposeError(
+                "Each ring must be a non-null array of positions "
+                "(engine deviation: the reference does not validate this)"
+            )
         for p in ring:
-            if len(p) < 2:
+            if p is None or len(p) < 2:
                 # DOCUMENTED DEVIATION: the reference reads v[0]/v[1] as
                 # JS undefined and propagates NaN-like garbage through
                 # gpsi; a malformed position is rejected with a typed

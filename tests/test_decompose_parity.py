@@ -180,3 +180,12 @@ def test_simplepolygon_drop_in_error_parity():
         {"type": "Feature", "geometry": {"type": "Polygon", "coordinates": []}}
     )
     assert fc == {"type": "FeatureCollection", "features": []}
+
+
+def test_null_ring_and_null_position_typed_errors():
+    # NULL elements INSIDE the coordinates array must raise the typed
+    # error (skip-mode droppable), never a raw TypeError
+    with pytest.raises(DecomposeError, match="non-null array"):
+        decompose([None])
+    with pytest.raises(DecomposeError, match="at least 2 coordinates"):
+        decompose([[[0.0, 0.0], None, [1.0, 1.0], [0.0, 0.0]]])
