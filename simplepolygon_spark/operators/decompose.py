@@ -77,7 +77,28 @@ def _decompose_batches(
             if "__was_null" in pdf.columns
             else [False] * len(pdf)
         )
-        for pid, nul, rings in zip(pdf["polygon_id"], was_null, pdf["rings"]):
+        was_empty = (
+            pdf["__was_empty"]
+            if "__was_empty" in pdf.columns
+            else [False] * len(pdf)
+        )
+        for pid, nul, emp, rings in zip(
+            pdf["polygon_id"], was_null, was_empty, pdf["rings"]
+        ):
+            if emp:
+                # include_empty marker: rings was [] (valid — reference
+                # fast path yields an empty FeatureCollection); emit a
+                # sentinel row so downstream sees the id without a
+                # second scan of the input.  ring_index=-1 can never
+                # collide with real output (real indices start at 0).
+                out["polygon_id"].append(pid)
+                out["ring_index"].append(-1)
+                out["parent"].append(-1)
+                out["winding"].append(0)
+                out["net_winding"].append(0)
+                out["is_indexed"].append(False)
+                out["coords"].append([])
+                continue
             try:
                 # rings arrive as numpy object arrays; decompose()'s own
                 # normalization ([[float(x), float(y)] ...]) consumes the
@@ -108,12 +129,20 @@ def _decompose_batches(
         yield pdf_out
 
 
-def decompose_polygons(polygons: DataFrame, on_error: str = "raise") -> DataFrame:
+def decompose_polygons(
+    polygons: DataFrame, on_error: str = "raise", include_empty: bool = False
+) -> DataFrame:
     """polygons(polygon_id, rings) → rings_out (one row per simple ring).
 
     ``on_error='skip'`` drops invalid polygons (duplicate vertices, etc.)
     instead of failing the job — the scale-friendly default for dirty
     data is to route rejects through ``validate_polygons`` first.
+
+    ``include_empty=True`` emits a sentinel row (ring_index=-1,
+    coords=[]) for each ``rings=[]`` input instead of dropping it — so a
+    caller that must account for every input id (decompose_geojson's
+    empty-FeatureCollection contract) gets it from the SAME single scan
+    rather than re-filtering (and re-parsing) the input a second time.
     """
     from pyspark.sql import functions as F
 
@@ -133,20 +162,31 @@ def decompose_polygons(polygons: DataFrame, on_error: str = "raise") -> DataFram
     # caller's join/filter and fire it on rows the caller had excluded —
     # the mapInPandas kernel is a barrier the optimizer cannot cross.)
     src = polygons.select("polygon_id", "rings")
+    placeholder = F.array(F.array(F.array(F.lit(0.0), F.lit(0.0))))
     if on_error == "skip":
-        src = (
-            src.filter(F.col("rings").isNotNull() & (F.size("rings") > 0))
-            .withColumn("__was_null", F.lit(False))
+        src = src.filter(F.col("rings").isNotNull()).select(
+            "polygon_id",
+            F.lit(False).alias("__was_null"),
+            (F.size("rings") == 0).alias("__was_empty"),
+            F.when(F.size("rings") == 0, placeholder)
+            .otherwise(F.col("rings"))
+            .alias("rings"),
         )
     else:
-        placeholder = F.array(F.array(F.array(F.lit(0.0), F.lit(0.0))))
         src = src.select(
             "polygon_id",
             F.col("rings").isNull().alias("__was_null"),
-            F.when(F.col("rings").isNull(), placeholder)
+            (F.col("rings").isNotNull() & (F.size("rings") == 0)).alias(
+                "__was_empty"
+            ),
+            F.when(
+                F.col("rings").isNull() | (F.size("rings") == 0), placeholder
+            )
             .otherwise(F.col("rings"))
             .alias("rings"),
-        ).filter(F.col("__was_null") | (F.size("rings") > 0))
+        )
+    if not include_empty:
+        src = src.filter(~F.col("__was_empty"))
     return src.mapInPandas(
         lambda it: _decompose_batches(it, on_error), RINGS_OUT_SCHEMA
     )

@@ -681,7 +681,13 @@ def srp_signatures(
     viewed as an (n × d) matrix and multiplied against the (d × planes)
     hyperplane matrix.  Hyperplanes are regenerated per batch from the
     seed (cheap: d × planes doubles) so every executor, batch, and run
-    agrees without shipping state."""
+    agrees without shipping state.
+
+    Mixed-dimension corpora are rejected loudly (per task, on the
+    second distinct dimension seen): signatures drawn from unrelated
+    hyperplane sets share one 64-bit space and are incomparable —
+    cross-dim bucket collisions would waste verify work and mask a
+    data-quality problem.  Split the corpus by dimension first."""
     if not (1 <= num_planes <= 64):
         raise ValueError(
             f"num_planes ({num_planes}) must be in [1, 64]: the signature "
@@ -691,7 +697,8 @@ def srp_signatures(
     shifts = np.arange(num_planes, dtype=np.uint64)
 
     def run(batches):
-        planes: dict[int, np.ndarray] = {}
+        H = None
+        plane_dim = None
         for batch in batches:
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             if len(ids) == 0:
@@ -703,10 +710,22 @@ def srp_signatures(
 
             X = _emb_matrix(batch.column(vec_col))
             d = X.shape[1]
-            H = planes.get(d)
             if H is None:
                 H = np.random.default_rng(seed).standard_normal((d, num_planes))
-                planes[d] = H
+                plane_dim = d
+            elif d != plane_dim:
+                # mixed-dimension corpus: signatures from unrelated
+                # hyperplane sets would share one 64-bit signature
+                # space, producing spurious cross-dim bucket collisions
+                # that verify only wastes work on (and a data-quality
+                # problem that goes unreported) — reject loudly, like
+                # _emb_matrix does for ragged batches
+                raise ValueError(
+                    f"srp_signatures: mixed embedding dimensions in one "
+                    f"corpus ({plane_dim} then {d}); signatures across "
+                    f"dimensions are incomparable — split the corpus by "
+                    f"dimension first"
+                )
             bits = ((X @ H) > 0.0).astype(np.uint64)
             sig = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
             yield pa.RecordBatch.from_arrays(
@@ -772,13 +791,20 @@ def embedding_dup_pairs_lsh(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     sigs = srp_signatures(vecs, num_planes, seed, id_col="vec_id", vec_col="v")
-    mask = (1 << r) - 1
-    band_arr = F.array(
-        *[
-            F.shiftrightunsigned(F.col("sig"), r * i).bitwiseAND(F.lit(mask))
-            for i in range(bands)
-        ]
-    )
+    if r >= 64:
+        # bands=1 over a 64-bit signature (threshold→1.0 derives this)
+        # is an exact-equality join; the mask literal 2^64-1 overflows
+        # a Spark long, so — mirroring banded_hamming_pairs — the
+        # unshifted column IS the single band key
+        band_arr = F.array(F.col("sig"))
+    else:
+        mask = (1 << r) - 1
+        band_arr = F.array(
+            *[
+                F.shiftrightunsigned(F.col("sig"), r * i).bitwiseAND(F.lit(mask))
+                for i in range(bands)
+            ]
+        )
     bk = sigs.select("vec_id", F.posexplode(band_arr).alias("band", "key"))
     a = bk.select(F.col("vec_id").alias("vec_a"), "band", "key")
     b = bk.select(F.col("vec_id").alias("vec_b"), "band", "key")

@@ -92,7 +92,11 @@ def decompose_geojson(
     # polygon_id — rename around it so any id_col works
     if id_col != "polygon_id":
         parsed = parsed.withColumnRenamed(id_col, "polygon_id")
-    rings_out = decompose_polygons(parsed)
+    # include_empty: coordinates=[] rows ride the SAME scan as sentinel
+    # rows (ring_index=-1) instead of a second filter over `parsed` —
+    # which would re-execute the from_json parse over the whole corpus
+    # to recover a rare edge case
+    rings_out = decompose_polygons(parsed, include_empty=True)
     if id_col != "polygon_id":
         rings_out = rings_out.withColumnRenamed("polygon_id", id_col)
 
@@ -106,6 +110,21 @@ def decompose_geojson(
         # input is re-chunked at arrow.maxRecordsPerBatch)
         pdf = pdf.sort_values("ring_index")
         pid = pdf[id_col].iloc[0]
+        # ring_index=-1 rows are include_empty sentinels (coordinates
+        # was []): a group of only sentinels is the reference fast
+        # path's empty FeatureCollection; a mixed group (duplicate id,
+        # one empty + one real) keeps the real rings
+        real = pdf[pdf["ring_index"] >= 0]
+        if len(real) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: [pid],
+                    "feature_collection": [
+                        json.dumps({"type": "FeatureCollection", "features": []})
+                    ],
+                }
+            )
+        pdf = real
         feats = []
         for row in pdf.itertuples():
             props = {}
@@ -138,19 +157,4 @@ def decompose_geojson(
     # groupBy shuffles only the (small) ring layer; the alternative —
     # buffering across mapInPandas batches — would silently break on a
     # >maxRecordsPerBatch polygon, so correctness wins the shuffle here
-    assembled = rings_out.groupBy(id_col).applyInPandas(assemble, schema)
-    # a feature with coordinates: [] produces ZERO ring rows (the
-    # reference's fast path yields an empty FeatureCollection), so its
-    # group never reaches assemble — union those (typically zero) rows
-    # back with the same empty FC json.dumps would emit, instead of
-    # silently dropping them.  A union of the filtered edge rows, NOT a
-    # distinct+left-join over every id: the join would shuffle the
-    # whole id set to patch a rare case (and per-row union also keeps
-    # duplicate-id inputs producing one output row each, like the
-    # reference does)
-    empty_fc = json.dumps({"type": "FeatureCollection", "features": []})
-    empties = parsed.filter(F.size("rings") == 0).select(
-        F.col("polygon_id").alias(id_col),
-        F.lit(empty_fc).alias("feature_collection"),
-    )
-    return assembled.unionByName(empties)
+    return rings_out.groupBy(id_col).applyInPandas(assemble, schema)

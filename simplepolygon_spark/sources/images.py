@@ -106,7 +106,10 @@ def quantize(px: np.ndarray, bits: int = 2) -> np.ndarray:
     At bits=2 the error is uniform in 0..3 (MSE 3.5, PSNR ~42.7 dB) —
     above the 40 dB gate but finite, so the gate is exercised away from
     the lossless PSNR=inf fast path."""
-    return px & np.uint8(0xFF << bits)
+    # mask to 8 bits BEFORE the uint8 cast: np.uint8(0xFF << bits) is an
+    # out-of-range Python-int conversion (DeprecationWarning today, a
+    # hard error in future numpy)
+    return px & np.uint8((0xFF << bits) & 0xFF)
 
 
 def image_shape_fmt(i: int) -> tuple[int, int, str]:

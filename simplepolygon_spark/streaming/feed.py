@@ -170,6 +170,7 @@ def banded_dedup_batch(
     out_dir: str,
     state_dir: str,
     max_hamming: int = 3,
+    stream_id: str = "s0",
 ) -> None:
     """One micro-batch of banded near-dedup (the ``foreachBatch`` body,
     split out so tests can drive it as plain batch code).
@@ -194,10 +195,17 @@ def banded_dedup_batch(
     Plan shape per batch: two (band, key) equi-joins — batch×store and
     batch×batch — signatures only (16 bytes + 4 band ints per doc;
     text never joins), then one anti-join to drop suppressed ids.
-    Both sinks partition by batch_id and overwrite their own partition
-    (dynamic mode), so a replayed micro-batch after a failure is
-    idempotent — the foreachBatch exactly-once recipe."""
+    Both sinks partition by a composite ``<stream_id>x<batch_id>`` key
+    and overwrite their own partition (dynamic mode), so a replayed
+    micro-batch after a failure is idempotent — the foreachBatch
+    exactly-once recipe.  The STREAM identity in the key matters:
+    micro-batch ids restart at 0 per checkpoint, so a new stream (fresh
+    checkpoint dir) pointed at an existing state_dir would, keyed on
+    batch_id alone, both exclude the old stream's batch-0 signatures
+    from comparison AND silently overwrite its partitions — the exact
+    hazard ``stream_id_for`` guards in the lineage sink."""
     spark = batch.sparkSession
+    stream_batch = f"{stream_id}x{int(batch_id)}"
     sigs = batch.persist()
     try:
         from pyspark.errors import AnalysisException
@@ -206,13 +214,16 @@ def banded_dedup_batch(
 
         m = melt_simhash_bands(sigs, ["doc_id", "ts", "simhash"])
         try:
-            # exclude THIS batch id from the store: on a replayed batch
-            # the previous attempt's own signatures are already there and
-            # would suppress every doc against itself; the filter is a
-            # partition prune AND keeps the replay from lazily reading
-            # the very files its own overwrite is about to replace
+            # exclude THIS (stream, batch) from the store: on a replayed
+            # batch the previous attempt's own signatures are already
+            # there and would suppress every doc against itself; the
+            # filter is a partition prune AND keeps the replay from
+            # lazily reading the very files its own overwrite is about
+            # to replace.  A different stream's batch with the same
+            # numeric id is NOT excluded — its signatures are real
+            # prior state.
             state = spark.read.parquet(state_dir).where(
-                F.col("_batch_id") != int(batch_id)
+                F.col("_stream_batch") != stream_batch
             )
         except AnalysisException:
             state = None  # first batch: no store yet; other errors propagate
@@ -270,8 +281,8 @@ def banded_dedup_batch(
         ):
             (
                 df.select(*cols)
-                .withColumn("_batch_id", F.lit(int(batch_id)))
-                .write.partitionBy("_batch_id")
+                .withColumn("_stream_batch", F.lit(stream_batch))
+                .write.partitionBy("_stream_batch")
                 .option("partitionOverwriteMode", "dynamic")
                 .mode("overwrite")
                 .parquet(path)
@@ -300,12 +311,16 @@ def start_banded_near_dedup(
     sinks overwrite their own batch_id partition (replay-idempotent),
     and the store IS the durable state (survives restarts with the
     checkpoint; at warehouse scale a bucketed table + periodic
-    compaction).  Returns the started StreamingQuery."""
+    compaction).  The partition key carries the stream identity
+    (``stream_id_for(checkpoint_dir)``) so a NEW stream resuming over
+    an existing store can neither clobber the old stream's partitions
+    nor skip its signatures.  Returns the started StreamingQuery."""
+    sid = stream_id_for(checkpoint_dir)
     sigs = _with_simhash_bands(doc_feed)
     return (
         sigs.writeStream.foreachBatch(
             lambda df, bid: banded_dedup_batch(
-                df, bid, out_dir, state_dir, max_hamming
+                df, bid, out_dir, state_dir, max_hamming, stream_id=sid
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -1,0 +1,149 @@
+"""Round-4 hardening: ADVICE r3 fixes (bands=1 SRP key, mixed-dim
+rejection, single-scan empty-FC patch) and the numpy qnt-codec mask."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 #1: embedding_dup_pairs_lsh at bands=1 (threshold→1.0 or
+# explicit) must not overflow Spark's long literal with a 2^64-1 mask
+# ---------------------------------------------------------------------------
+
+
+def _emb_df(spark, planted_scale=2.0):
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(40)]
+    # planted exact dup: power-of-two rescale is FP-exact, cosine == 1.0
+    rows.append((1000, [x * planted_scale for x in rows[0][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_lsh_bands_1_exact_equality_join(spark):
+    from simplepolygon_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    emb = _emb_df(spark)
+    # explicit bands=1: the whole 64-bit signature is one band key —
+    # previously raised at plan time (mask literal 2^64-1 overflows long)
+    got = embedding_dup_pairs_lsh(emb, threshold=0.999, bands=1).collect()
+    assert {(r.vec_a, r.vec_b) for r in got} == {(0, 1000)}
+    assert all(r.cosine >= 0.999 for r in got)
+
+
+def test_embedding_lsh_threshold_1_derives_single_band(spark):
+    from simplepolygon_spark.operators.dedup import (
+        embedding_dup_pairs_lsh,
+        srp_bands_for_threshold,
+    )
+
+    # threshold 1.0 → p=1.0 → fewest bands = 1 (the overflow trigger)
+    assert srp_bands_for_threshold(64, 1.0) == 1
+    got = embedding_dup_pairs_lsh(_emb_df(spark), threshold=1.0).collect()
+    assert {(r.vec_a, r.vec_b) for r in got} == {(0, 1000)}
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 #3: srp_signatures rejects mixed-dimension corpora loudly
+# ---------------------------------------------------------------------------
+
+
+def test_srp_signatures_mixed_dims_raise(spark):
+    from simplepolygon_spark.operators.dedup import srp_signatures
+
+    rows = [(i, [float(i)] * 8) for i in range(5)] + [
+        (100 + i, [float(i)] * 16) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>").coalesce(1)
+    # mixed dims within ONE Arrow batch already die loudly in
+    # _emb_matrix ("ragged embeddings"); the ADVICE hazard is dims
+    # split ACROSS batches of one task, where each batch is internally
+    # rectangular — force that with a tiny Arrow batch size
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "5")
+    try:
+        with pytest.raises(Exception, match="mixed embedding dimensions"):
+            srp_signatures(df).collect()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_srp_signatures_uniform_dims_still_pass(spark):
+    from simplepolygon_spark.operators.dedup import srp_signatures
+
+    rows = [(i, [float(i + 1)] * 8) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = srp_signatures(df).collect()
+    assert len(out) == 6
+    # identical directions → identical signatures
+    assert len({r.sig for r in out}) == 1
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 #4: decompose_geojson parses the corpus ONCE — the empty-FC
+# patch rides the kernel scan as sentinel rows, not a second filter
+# ---------------------------------------------------------------------------
+
+
+def _feat(coords):
+    return json.dumps(
+        {"type": "Feature", "geometry": {"type": "Polygon", "coordinates": coords}}
+    )
+
+
+def test_decompose_geojson_single_parse_in_plan(spark):
+    from simplepolygon_spark.operators.geojson import decompose_geojson
+
+    square = [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]]
+    df = spark.createDataFrame(
+        [("a", _feat(square)), ("b", _feat([]))], "polygon_id string, geojson string"
+    )
+    out = decompose_geojson(df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("from_json") == 1, plan
+    rows = {r.polygon_id: r for r in out.collect()}
+    assert set(rows) == {"a", "b"}
+    assert json.loads(rows["b"].feature_collection)["features"] == []
+    assert len(json.loads(rows["a"].feature_collection)["features"]) == 1
+
+
+def test_decompose_polygons_include_empty_sentinels(spark):
+    from simplepolygon_spark.operators.decompose import decompose_polygons
+
+    square = [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]]
+    df = spark.createDataFrame(
+        [("a", square), ("b", [])],
+        "polygon_id string, rings array<array<array<double>>>",
+    )
+    # default: empties dropped (unchanged contract)
+    assert {r.polygon_id for r in decompose_polygons(df).collect()} == {"a"}
+    got = {r.polygon_id: r for r in decompose_polygons(df, include_empty=True).collect()}
+    assert set(got) == {"a", "b"}
+    s = got["b"]
+    assert (s.ring_index, s.parent, list(s.coords)) == (-1, -1, [])
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 wrong-#2: qnt codec masks before the uint8 cast — runs
+# clean under DeprecationWarning-as-error
+# ---------------------------------------------------------------------------
+
+
+def test_qnt_quantize_no_numpy_deprecation():
+    import warnings
+
+    from simplepolygon_spark.sources.images import pixels_of, quantize
+
+    px = pixels_of(7, 16, 12)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        q = quantize(px, bits=2)
+    assert q.dtype == np.uint8
+    assert int(np.abs(px.astype(int) - q.astype(int)).max()) <= 3

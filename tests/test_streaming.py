@@ -242,6 +242,43 @@ def test_banded_dedup_late_arrival_not_suppressed_by_later_doc(spark, tmp_path):
     assert got == [3, 10]
 
 
+def test_banded_dedup_new_stream_sees_old_streams_state(spark, tmp_path):
+    """A NEW stream (fresh checkpoint → batch ids restart at 0) pointed
+    at an existing state_dir/out_dir must treat the old stream's
+    signatures as real prior state — not exclude them as "its own
+    batch 0" nor overwrite the old stream's partitions (ADVICE r3 #2:
+    the partition key carries the stream identity)."""
+    import pandas as pd
+
+    from simplepolygon_spark.streaming.feed import (
+        _with_simhash_bands,
+        banded_dedup_batch,
+    )
+
+    ts0 = pd.Timestamp("2026-01-01")
+    text = "a document body shared verbatim across two logical streams"
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    # stream A, batch 0: the original doc
+    a0 = pd.DataFrame([(1, text, ts0)], columns=["doc_id", "text", "ts"])
+    banded_dedup_batch(
+        _with_simhash_bands(spark.createDataFrame(a0)), 0, out, state, stream_id="aaaa"
+    )
+    # stream B (new checkpoint → ITS batch 0): a later re-post of the
+    # same text — must be suppressed against stream A's stored signature
+    b0 = pd.DataFrame(
+        [(2, text, ts0 + pd.Timedelta(seconds=60))], columns=["doc_id", "text", "ts"]
+    )
+    banded_dedup_batch(
+        _with_simhash_bands(spark.createDataFrame(b0)), 0, out, state, stream_id="bbbb"
+    )
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1], "old stream's output clobbered or its state skipped"
+    # state keeps both streams' signatures under distinct partitions
+    st = spark.read.parquet(state)
+    assert sorted(r.doc_id for r in st.collect()) == [1, 2]
+    assert st.select("_stream_batch").distinct().count() == 2
+
+
 def test_stream_assign_with_lineage_exactly_once(spark, tmp_path):
     """Streaming S7: feed → PIP assign → lineage commit.  The committed
     result equals the batch pipeline on the same landed table; a
