@@ -621,6 +621,47 @@ def _q_ngram_jaccard_sql():
     """
 
 
+def q_ngram_jaccard_lsh(spark, sf_dir):
+    """Scale path of q:ngram_jaccard: same exact-Jaccard definition and
+    same-block (lang) constraint, but candidates come from MinHash
+    banding with the block key joined into the bucket key — never a
+    quadratic within-block self-join.  At threshold 0.8 every true pair
+    on this corpus sits at j≥0.92 (see q_minhash_pairs), so the banded
+    pipeline's output equals the exhaustive blocked oracle."""
+    from simplepolygon_spark.operators.dedup import ngram_jaccard_pairs_lsh
+
+    d = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_lsh(
+        d, k=5, threshold=0.8, block_col="lang"
+    ).orderBy("doc_a", "doc_b")
+
+
+def _q_ngram_jaccard_lsh_sql():
+    # exhaustive blocked oracle at the LSH query's threshold — the
+    # relational set-similarity formulation (see _q_minhash_sql) with
+    # the block equality folded into the shingle equi-join
+    return """
+        WITH sh AS (
+          SELECT doc_id, lang,
+                 list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                               i -> substr(lower(text), i, 5))) AS s
+          FROM documents),
+        tok AS (SELECT doc_id, lang, unnest(s) AS g FROM sh),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM tok a JOIN tok b ON a.g = b.g AND a.lang = b.lang
+                                AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+        SELECT doc_a, doc_b,
+               round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+    """
+
+
 def q_top_ngrams(spark, sf_dir):
     """Corpus bigram top-20 (vocabulary stats): JVM-only n-gram
     generation, map-side-combined counts, TakeOrderedAndProject top-k."""
@@ -1264,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "top_ngrams": q_top_ngrams,
         "repetition": q_repetition,
         "hamming_dups": q_hamming_dups,
@@ -1301,6 +1343,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": _q_quality_sql(),
         "lang_id": _q_lang_id_sql(),
         "ngram_jaccard": _q_ngram_jaccard_sql(),
+        "ngram_jaccard_lsh": _q_ngram_jaccard_lsh_sql(),
         "top_ngrams": _q_top_ngrams_sql(),
         "repetition": _q_repetition_sql(),
         "hamming_dups": _q_hamming_dups_sql(),

@@ -54,8 +54,16 @@ def shingle_col(text_col: str = "text", k: int = 5):
 def ngram_jaccard_pairs(
     docs: DataFrame, k: int = 5, threshold: float = 0.5, block_col: str = "source"
 ) -> DataFrame:
-    """Exact shingle-Jaccard pairs ≥ threshold, blocked by ``block_col``
-    to bound the self-join (classic blocking key)."""
+    """Exact shingle-Jaccard pairs ≥ threshold, blocked by ``block_col``.
+
+    ORACLE SHAPE — small-scale only.  The self-join is quadratic in the
+    block size and nothing bounds the key's coarseness: a skewed or
+    coarse block (one giant ``source``) makes this an all-pairs join.
+    It exists as the exhaustive-recall reference that the banded form
+    is verified against; at scale use ``ngram_jaccard_pairs_lsh``
+    (MinHash-banded candidates within the block, the same exact Jaccard
+    re-verified on candidates only) — same output columns, recall
+    governed by the LSH S-curve instead of exhaustive."""
     d = docs.select("doc_id", block_col, shingle_col("text", k).alias("sh"))
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(b, on=block_col).where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -69,6 +77,32 @@ def ngram_jaccard_pairs(
             F.round(jac, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_lsh(
+    docs: DataFrame,
+    k: int = 5,
+    threshold: float = 0.8,
+    block_col: str = "source",
+    num_hashes: int = 64,
+    bands: int | None = None,
+) -> DataFrame:
+    """Scale path of ``ngram_jaccard_pairs``: (doc_a, doc_b, jaccard ≥
+    threshold) for same-``block_col`` docs, candidates via MinHash
+    banding (threshold-derived geometry, ``bands_for_threshold``) with
+    the block key joined into the bucket key, exact distinct-k-gram
+    Jaccard recomputed on candidates only.  Identical output definition
+    to the exhaustive form; recall follows the LSH S-curve (≥63% AT the
+    threshold, →1 above the knee) instead of exhaustive — the standard
+    trade that removes the quadratic within-block join."""
+    return minhash_dup_pairs(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        threshold=threshold,
+        block_col=block_col,
     )
 
 
@@ -181,8 +215,12 @@ def minhash_doc_sigs(
     )
 
 
-def _band_buckets_from_sigs(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """(doc_id, band, band_hash) derived from sig with JVM expressions."""
+def _band_buckets_from_sigs(
+    sigs: DataFrame, bands: int, rows_per_band: int, carry: tuple = ()
+) -> DataFrame:
+    """(doc_id, *carry, band, band_hash) derived from sig with JVM
+    expressions; ``carry`` columns (e.g. a blocking key) ride the
+    explode so they need no post-hoc join against the melted frame."""
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(
@@ -195,7 +233,9 @@ def _band_buckets_from_sigs(sigs: DataFrame, bands: int, rows_per_band: int) -> 
             )
         ),
     )
-    return sigs.select("doc_id", F.posexplode(band_arr).alias("band", "band_hash"))
+    return sigs.select(
+        "doc_id", *carry, F.posexplode(band_arr).alias("band", "band_hash")
+    )
 
 
 def bands_for_threshold(num_hashes: int, threshold: float) -> int:
@@ -247,6 +287,7 @@ def minhash_dup_pairs(
     threshold: float = 0.8,
     est_margin: float = 0.1,
     rebalance: int | None = None,
+    block_col: str | None = None,
 ) -> DataFrame:
     """LSH candidates (bucket equi-join) → signature-estimate pre-filter
     (matching-minhash fraction ≥ threshold − est_margin) → exact
@@ -273,6 +314,12 @@ def minhash_dup_pairs(
     dominated the whole bench.  Callers who truly need j≥0.5 recall pay
     that candidate cost knowingly.
 
+    ``block_col`` (optional) constrains pairs to docs sharing that
+    column's value — the scale-safe form of classic blocking: the block
+    key simply joins the LSH bucket key, so within-block candidate
+    generation stays banded (never quadratic in the block size).  Docs
+    with a NULL block value never pair (NULL equi-join semantics).
+
     NOTE: calling this function RUNS the signature + candidate jobs
     immediately (eager localCheckpoint — the price of releasing the
     intermediate sig/candidate caches deterministically instead of
@@ -291,11 +338,23 @@ def minhash_dup_pairs(
             f"bands ({bands}) must divide num_hashes ({num_hashes}): a "
             "remainder would silently drop the trailing hashes from the banding"
         )
-    sigs = minhash_doc_sigs(docs, num_hashes, k).persist()
-    bk = _band_buckets_from_sigs(sigs, bands, num_hashes // bands)
+    sigs = minhash_doc_sigs(docs, num_hashes, k)
+    carry: tuple = ()
+    join_keys = ["band", "band_hash"]
+    if block_col is not None:
+        # attach the block BEFORE the band explode (one narrow
+        # doc_id-join of id+block rows, not bands× melted rows); the
+        # block then rides the bucket key so only same-block docs
+        # become candidates
+        blocks = docs.select("doc_id", F.col(block_col).alias("_blk"))
+        sigs = sigs.join(blocks, "doc_id")
+        carry = ("_blk",)
+        join_keys = ["band", "band_hash", "_blk"]
+    sigs = sigs.persist()
+    bk = _band_buckets_from_sigs(sigs, bands, num_hashes // bands, carry=carry)
     a, b = bk.alias("a"), bk.alias("b")
     raw_cand = (
-        a.join(b, on=["band", "band_hash"])
+        a.join(b, on=join_keys)
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

@@ -131,6 +131,46 @@ def test_decompose_polygons_include_empty_sentinels(spark):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r3 next-#2: ngram_jaccard scale path — MinHash-banded
+# candidates constrained to the block, exact Jaccard verify
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_jaccard_lsh_blocked_banded(spark):
+    from simplepolygon_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_lsh,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, "en", base),
+        (2, "en", base),  # same block, exact dup → must pair
+        (3, "de", base),  # cross block, exact dup → must NOT pair
+        (4, "en", base.replace("lazy", "hazy")),  # same block near-dup
+        (5, "en", "completely unrelated text about maritime navigation beacons"),
+    ] + [(100 + i, "en", f"filler document number {i} with its own words") for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs_lsh(
+            d, k=5, threshold=0.8, block_col="lang"
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 4) in got and got[(1, 4)] < 1.0
+    assert not any(3 in p for p in got), "cross-block pair leaked"
+    # recall parity with the exhaustive oracle shape on this corpus
+    oracle = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            d, k=5, threshold=0.8, block_col="lang"
+        ).collect()
+    }
+    assert got == oracle
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r3 wrong-#2: qnt codec masks before the uint8 cast — runs
 # clean under DeprecationWarning-as-error
 # ---------------------------------------------------------------------------
