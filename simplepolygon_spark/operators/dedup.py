@@ -903,6 +903,22 @@ def embedding_dup_pairs_lsh(
 # ---------------------------------------------------------------------------
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free an eager localCheckpoint's storage blocks NOW.
+
+    A checkpointed DataFrame's analyzed plan is a LogicalRDD whose
+    ``rdd`` member IS the checkpointed (persisted) RDD — unpersisting
+    it through py4j drops the blocks immediately instead of waiting for
+    the Python reference's GC.  The frame is unusable afterwards (a
+    local checkpoint cannot be recomputed), so call this only on
+    SUPERSEDED frames nothing references.  Best-effort: on any internal
+    API drift the blocks simply fall back to GC-time release."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     """(doc_id, cluster_id): connected components of the duplicate-pair
     graph, cluster_id = smallest doc_id reachable — the canonical-
@@ -933,10 +949,12 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     # the logical plan stays O(1) per round instead of growing 3^k —
     # without it Catalyst itself OOMs around round 9.  At warehouse
     # scale, set a reliable checkpoint dir and use .checkpoint() for
-    # executor-loss safety.  Superseded rounds' checkpoint blocks (tiny:
-    # two longs per node) have no public unpersist handle; they are
-    # dropped when the rebound Python reference is GC'd, bounded by
-    # max_iters per call.
+    # executor-loss safety.  Superseded rounds' checkpoint blocks (two
+    # longs per node) are released EXPLICITLY via the LogicalRDD handle
+    # (_release_local_checkpoint) the moment the next round is
+    # materialized — storage stays at one round's blocks regardless of
+    # how many clustering calls a session makes, instead of
+    # accumulating orphans until driver GC.
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -980,6 +998,9 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .limit(1)
             .count()
         )
+        # the changed-check was the old round's last reader — free its
+        # blocks before rebinding so storage never exceeds one round
+        _release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             edges.unpersist()
@@ -987,4 +1008,5 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
                 F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
             )
     edges.unpersist()
+    _release_local_checkpoint(labels)
     raise RuntimeError(f"dup_clusters did not converge in {max_iters} rounds")

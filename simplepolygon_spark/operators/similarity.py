@@ -169,7 +169,9 @@ def kmeans_fit_distributed(
     init: np.ndarray | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> np.ndarray:
+    tol: float = 1e-9,
+    return_iters: bool = False,
+):
     """K-means fitted ON THE CLUSTER — the IVF index-build path when the
     corpus (or even a fair sample) no longer fits the driver.
 
@@ -179,8 +181,12 @@ def kmeans_fit_distributed(
     count) and one tiny exchange (posexplode to (cid, dim, partial) →
     map-side-combined SUM → k·d rows to the driver).  Data moved per
     iteration is O(tasks · k · d), independent of corpus size; the
-    corpus itself never shuffles and is scanned ``iters`` times (at
-    warehouse scale, persist the narrow (id, vector) projection first).
+    corpus itself never shuffles.  The narrow (id, vector) projection
+    is persisted for the duration of the fit (each iteration re-reads
+    it) and unpersisted on return; iteration stops early when the max
+    centroid movement (L∞ over all coordinates) drops below ``tol`` —
+    ``iters`` is the upper bound, not a fixed scan count.
+    ``return_iters=True`` returns ``(centroids, iterations_used)``.
 
     ``init``: explicit initial centroids (driver-chosen or from
     ``kmeans_centroids`` on a sample).  Default: the ``n_centroids``
@@ -190,7 +196,9 @@ def kmeans_fit_distributed(
     Results match single-node k-means from the same init to float
     accumulation order (partial sums combine in task order; differences
     are ~1e-13 relative — asserted with allclose in tests)."""
-    d0 = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+    d0 = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).persist()
     if init is None:
         first = (
             d0.withColumn("_o", F.md5(F.col("_id").cast("string")))
@@ -232,27 +240,35 @@ def kmeans_fit_distributed(
 
         return run
 
-    for _ in range(iters):
-        partials = d0.select("_v").mapInArrow(make_run(C), schema)
-        rows = (
-            partials.select(
-                "cid", "cnt", F.posexplode("sums").alias("dim", "val")
+    used = 0
+    try:
+        for _ in range(iters):
+            used += 1
+            partials = d0.select("_v").mapInArrow(make_run(C), schema)
+            rows = (
+                partials.select(
+                    "cid", "cnt", F.posexplode("sums").alias("dim", "val")
+                )
+                .groupBy("cid", "dim")
+                .agg(F.sum("val").alias("s"), F.sum("cnt").alias("n"))
+                .collect()
             )
-            .groupBy("cid", "dim")
-            .agg(F.sum("val").alias("s"), F.sum("cnt").alias("n"))
-            .collect()
-        )
-        sums = np.zeros_like(C)
-        counts = np.zeros(k, np.int64)
-        for r in rows:
-            sums[r.cid, r.dim] = r.s
-            if r.dim == 0:  # cnt is replicated across dims; read it once
-                counts[r.cid] = r.n
-        newC = C.copy()  # empty clusters keep their centroid
-        nz = counts > 0
-        newC[nz] = sums[nz] / counts[nz, None]
-        C = newC
-    return C
+            sums = np.zeros_like(C)
+            counts = np.zeros(k, np.int64)
+            for r in rows:
+                sums[r.cid, r.dim] = r.s
+                if r.dim == 0:  # cnt is replicated across dims; read it once
+                    counts[r.cid] = r.n
+            newC = C.copy()  # empty clusters keep their centroid
+            nz = counts > 0
+            newC[nz] = sums[nz] / counts[nz, None]
+            moved = float(np.abs(newC - C).max()) if k else 0.0
+            C = newC
+            if moved < tol:
+                break  # converged: skip the remaining scans
+    finally:
+        d0.unpersist()
+    return (C, used) if return_iters else C
 
 
 def ivf_assign(corpus: DataFrame, centroids: np.ndarray) -> DataFrame:

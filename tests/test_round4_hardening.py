@@ -171,6 +171,69 @@ def test_ngram_jaccard_lsh_blocked_banded(spark):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r3 next-#4: kmeans early stop + persisted projection
+# ---------------------------------------------------------------------------
+
+
+def _persisted_rdd_count(spark):
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def test_kmeans_early_stop_and_unpersist(spark):
+    import numpy as np
+
+    from simplepolygon_spark.operators.similarity import kmeans_fit_distributed
+
+    rng = np.random.default_rng(3)
+    # two tight, well-separated blobs: converges in 2 iterations
+    pts = np.concatenate(
+        [rng.normal(0, 0.01, (30, 4)), rng.normal(10, 0.01, (30, 4))]
+    )
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    init = np.asarray([pts[0], pts[30]])
+    before = _persisted_rdd_count(spark)
+    C, used = kmeans_fit_distributed(
+        emb, 2, iters=8, init=init, tol=1e-6, return_iters=True
+    )
+    # converged long before the iteration cap — scans were skipped
+    assert used < 8
+    # and the same centroids as a full run from the same init
+    C_full = kmeans_fit_distributed(emb, 2, iters=8, init=init, tol=0.0)
+    assert np.allclose(C, C_full)
+    # projection unpersisted on return (no storage growth)
+    assert _persisted_rdd_count(spark) == before
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 next-#5: dup_clusters storage stays bounded across calls
+# ---------------------------------------------------------------------------
+
+
+def test_dup_clusters_storage_bounded_across_calls(spark):
+    from simplepolygon_spark.operators.dedup import dup_clusters
+
+    # a 12-hop chain forces several pointer-jumping rounds per call
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    before = _persisted_rdd_count(spark)
+    counts = []
+    for _ in range(3):
+        out = dup_clusters(pairs)
+        assert {r.cluster_id for r in out.collect()} == {0}
+        del out
+        counts.append(_persisted_rdd_count(spark))
+    # superseded rounds are freed explicitly: repeated calls may leave
+    # at most ONE round's checkpoint (the returned frame's own blocks),
+    # never an accumulating pile proportional to calls x rounds
+    assert max(counts) <= before + 1, counts
+    assert counts[-1] <= counts[0], counts
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r3 wrong-#2: qnt codec masks before the uint8 cast — runs
 # clean under DeprecationWarning-as-error
 # ---------------------------------------------------------------------------
