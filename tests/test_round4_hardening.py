@@ -234,6 +234,40 @@ def test_dup_clusters_storage_bounded_across_calls(spark):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r3 next-#6: IVF recall anchoring — probing every inverted
+# list must reproduce the exact scan (recall@k exactly 1)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_full_probe_equals_exact_scan(spark):
+    import numpy as np
+
+    from simplepolygon_spark.operators.similarity import (
+        cosine_topk_arrow,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(21)
+    X = rng.standard_normal((120, 8))
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = {int(q): X[q] for q in (3, 40, 77)}
+    C = kmeans_centroids(X, n_centroids=4)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_arrow(emb, queries, k=7).collect()
+    }
+    full_probe = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, C, k=7, probes=4).collect()
+    }
+    assert full_probe == exact
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r3 wrong-#2: qnt codec masks before the uint8 cast — runs
 # clean under DeprecationWarning-as-error
 # ---------------------------------------------------------------------------
