@@ -56,8 +56,17 @@ RINGS_OUT_SCHEMA = StructType(
 )
 
 
+def _oversize_error(n_vertices: int, cap: int) -> "Exception":
+    from simplepolygon_spark.decompose import DecomposeError
+
+    return DecomposeError(
+        f"polygon exceeds max_vertices cap ({n_vertices} > {cap}): "
+        "routed to skip/report instead of occupying an executor"
+    )
+
+
 def _decompose_batches(
-    batches: Iterator[pd.DataFrame], on_error: str
+    batches: Iterator[pd.DataFrame], on_error: str, max_vertices: int | None = None
 ) -> Iterator[pd.DataFrame]:
     # imported lazily so the worker imports the kernel, not the operator
     from simplepolygon_spark.decompose import DecomposeError, decompose
@@ -100,6 +109,17 @@ def _decompose_batches(
                 out["coords"].append([])
                 continue
             try:
+                # opt-in cost cap: a pathological mega-polygon is ONE
+                # task (per-row kernel), so without a cap it can occupy
+                # an executor for hours; the vertex count is the cheap
+                # static proxy (crossing blow-up is already bounded by
+                # the sweep's pair_cap inside the kernel)
+                if (
+                    max_vertices is not None
+                    and not nul
+                    and (nv := sum(len(r) for r in rings)) > max_vertices
+                ):
+                    raise _oversize_error(nv, max_vertices)
                 # rings arrive as numpy object arrays; decompose()'s own
                 # normalization ([[float(x), float(y)] ...]) consumes the
                 # per-ring arrays directly — only the outer container is
@@ -130,7 +150,10 @@ def _decompose_batches(
 
 
 def decompose_polygons(
-    polygons: DataFrame, on_error: str = "raise", include_empty: bool = False
+    polygons: DataFrame,
+    on_error: str = "raise",
+    include_empty: bool = False,
+    max_vertices: int | None = None,
 ) -> DataFrame:
     """polygons(polygon_id, rings) → rings_out (one row per simple ring).
 
@@ -143,6 +166,13 @@ def decompose_polygons(
     caller that must account for every input id (decompose_geojson's
     empty-FeatureCollection contract) gets it from the SAME single scan
     rather than re-filtering (and re-parsing) the input a second time.
+
+    ``max_vertices`` (opt-in) caps per-polygon cost: the kernel runs one
+    polygon per row in one task, so a pathological mega-polygon (tens of
+    millions of vertices) would otherwise occupy an executor for hours.
+    Over-cap rows raise the typed "exceeds max_vertices cap" error —
+    skipped under ``on_error='skip'``, reported (not raised) by
+    ``validate_polygons(max_vertices=...)`` for quarantine routing.
     """
     from pyspark.sql import functions as F
 
@@ -188,7 +218,8 @@ def decompose_polygons(
     if not include_empty:
         src = src.filter(~F.col("__was_empty"))
     return src.mapInPandas(
-        lambda it: _decompose_batches(it, on_error), RINGS_OUT_SCHEMA
+        lambda it: _decompose_batches(it, on_error, max_vertices),
+        RINGS_OUT_SCHEMA,
     )
 
 
@@ -201,7 +232,9 @@ VALIDATE_SCHEMA = StructType(
 )
 
 
-def validate_polygons(polygons: DataFrame) -> DataFrame:
+def validate_polygons(
+    polygons: DataFrame, max_vertices: int | None = None
+) -> DataFrame:
     """Dry-run validation: (polygon_id, ok, error) — one row per input
     polygon, never failing the job.  ``error`` carries the
     reference-parity message (duplicate vertices, degenerate ring,
@@ -213,6 +246,11 @@ def validate_polygons(polygons: DataFrame) -> DataFrame:
     runs the full kernel and discards the rings — the only definition
     that cannot drift from the real pipeline (walk-time rejections like
     coincident crossings are undetectable by cheap static checks).
+
+    ``max_vertices`` (opt-in, matching ``decompose_polygons``): a
+    polygon over the cap is REPORTED (ok=False, "exceeds max_vertices
+    cap") without running the kernel at all — the whole point is that
+    the oversized row must not cost kernel time here either.
     """
     from pyspark.sql import functions as F
 
@@ -231,6 +269,11 @@ def validate_polygons(polygons: DataFrame) -> DataFrame:
                         decompose(None)
                     elif was_empty:
                         pass  # [] is valid: empty FeatureCollection
+                    elif (
+                        max_vertices is not None
+                        and (nv := sum(len(r) for r in rings)) > max_vertices
+                    ):
+                        raise _oversize_error(nv, max_vertices)
                     else:
                         decompose(list(rings))
                     oks.append(True)
