@@ -11,6 +11,11 @@ give the streaming path:
   stream_tile_assign   — PIP tile assignment on the stream: the same
                          broadcast interval index + Arrow batch kernel as
                          the batch path (stateless per row, stream-safe)
+  start_banded_near_dedup — in-stream SimHash/Hamming near-dedup
+                         (foreachBatch over a parquet signature store)
+  start_minhash_near_dedup — in-stream MinHash/Jaccard near-dedup:
+                         "drop re-crawls at j≥0.8 as they arrive";
+                         same store architecture, exact-Jaccard verify
   start_assign_with_lineage — the full ingest→assign→commit sink:
                          foreachBatch writes each micro-batch through
                          the lineage log (exactly-once across replays;
@@ -321,6 +326,224 @@ def start_banded_near_dedup(
         sigs.writeStream.foreachBatch(
             lambda df, bid: banded_dedup_batch(
                 df, bid, out_dir, state_dir, max_hamming, stream_id=sid
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def _with_minhash_sigs(
+    docs: DataFrame, num_hashes: int = 64, k: int = 5, seed: int = 7
+) -> DataFrame:
+    """(doc_id, text, ts, sig array<long>) — the stream-side twin of
+    ``operators.dedup.minhash_doc_sigs``: the same ``_batch_minhash``
+    kernel and the same seeded hash family, so stream and landed-table
+    batch signatures can never diverge; text and ts pass through (the
+    store needs the text for exact-Jaccard verification)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..operators.dedup import _MERSENNE, _batch_minhash
+
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, _MERSENNE, num_hashes, dtype=np.uint64)
+    B = rng.integers(0, _MERSENNE, num_hashes, dtype=np.uint64)
+    schema = "doc_id long, text string, ts timestamp, sig array<long>"
+
+    def run(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            sig = _batch_minhash(batch.column("text").to_pylist(), A, B, k)
+            rows = sig.T.astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("text"),
+                    batch.column("ts"),
+                    pa.array(list(rows), pa.list_(pa.int64())),
+                ],
+                names=["doc_id", "text", "ts", "sig"],
+            )
+
+    # NULL text has no signature — exclude SQL-side (kernel would crash)
+    return (
+        docs.select("doc_id", "text", "ts")
+        .where(F.col("text").isNotNull())
+        .mapInArrow(run, schema)
+    )
+
+
+def minhash_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    state_dir: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    k: int = 5,
+    stream_id: str = "s0",
+    log_candidates: bool = False,
+) -> None:
+    """One micro-batch of MinHash (Jaccard) banded near-dedup — the
+    ``foreachBatch`` body of ``start_minhash_near_dedup``, split out so
+    tests can drive it as plain batch code.
+
+    Greedy first-wins over (ts, then doc_id), the same contract as
+    ``banded_dedup_batch``: a doc is SUPPRESSED iff a strictly-earlier
+    doc — in the signature store or earlier in this batch — shares an
+    LSH band (threshold-derived geometry, ``bands_for_threshold``, the
+    SAME banding as batch ``minhash_dup_pairs``) and its exact
+    distinct-k-gram Jaccard is ≥ threshold.  Verification is the exact
+    Jaccard (not the signature estimate), computed JVM-side for
+    candidate pairs only — which is why the store keeps each doc's
+    text alongside its signature (a second copy of the corpus; the
+    price of exact-threshold parity with the batch operator.  Note the
+    one semantic daylight vs ``minhash_dup_pairs``: the batch op also
+    applies a signature-estimate pre-filter before its exact verify,
+    so a pair whose estimate strays below threshold − margin while its
+    exact Jaccard clears the threshold is dropped there but suppressed
+    here — both only possible in the estimator's ±margin tail).
+
+    In-batch and cross-batch suppression share ONE (band, band_hash)
+    equi-join: the prior side is store ∪ batch, and the strictly-earlier
+    (ts, doc_id) predicate both orders pairs and excludes self-pairs.
+    Candidate ids are eagerly localCheckpointed (the bucket join runs
+    once, feeding the two text joins), and the blocks are released
+    before return — a long stream never accumulates them.  Sinks
+    partition on the composite ``<stream_id>x<batch_id>`` key with
+    dynamic overwrite: replay-idempotent, and a NEW stream over an old
+    store neither clobbers nor skips the old stream's partitions.  As
+    with the SimHash sink, an already-emitted later doc cannot be
+    retracted under out-of-order arrival; for in-order feeds the
+    emitted set is a pure function of the landed table (tested against
+    batch ``minhash_dup_pairs``)."""
+    spark = batch.sparkSession
+    stream_batch = f"{stream_id}x{int(batch_id)}"
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import (
+        _band_buckets_from_sigs,
+        _release_local_checkpoint,
+        bands_for_threshold,
+        shingle_col,
+    )
+
+    bands = bands_for_threshold(num_hashes, threshold)
+    r = num_hashes // bands
+    sigs = batch.persist()
+    cand = None
+    try:
+        try:
+            state = spark.read.parquet(state_dir).where(
+                F.col("_stream_batch") != stream_batch
+            )
+        except AnalysisException:
+            state = None  # first batch: no store yet; other errors propagate
+        prior = sigs.select("doc_id", "text", "ts", "sig")
+        if state is not None:
+            prior = prior.unionByName(state.select("doc_id", "text", "ts", "sig"))
+        bm = _band_buckets_from_sigs(sigs, bands, r, carry=("ts",))
+        pm = _band_buckets_from_sigs(prior, bands, r, carry=("ts",)).select(
+            F.col("doc_id").alias("id_prev"),
+            F.col("ts").alias("ts_prev"),
+            "band",
+            "band_hash",
+        )
+        # the prior doc must be strictly EARLIER by (ts, doc_id) — this
+        # both enforces landed-table pair order for late arrivals and
+        # excludes each doc's self-pair from the unioned prior side
+        prev_earlier = (F.col("ts_prev") < F.col("ts")) | (
+            (F.col("ts_prev") == F.col("ts")) & (F.col("id_prev") < F.col("doc_id"))
+        )
+        cand = (
+            bm.join(pm, ["band", "band_hash"])
+            .where(prev_earlier)
+            .select("doc_id", "id_prev")
+            .distinct()
+            # eager: the candidate set feeds two text joins and the
+            # optional count — run the bucket join once
+            .localCheckpoint(eager=True)
+        )
+        if log_candidates:
+            print(
+                f"[minhash_dedup] batch {stream_batch}: "
+                f"{cand.count()} candidate pairs",
+                flush=True,
+            )
+        # exact verify on candidates only: semi-join each side's text
+        # down to participating ids BEFORE shingling, so shingle arrays
+        # are computed for (and shuffled by) candidates, never the store
+        pids = cand.select(F.col("id_prev").alias("doc_id")).distinct()
+        sh_p = (
+            prior.join(pids, "doc_id", "left_semi")
+            .select(F.col("doc_id").alias("id_prev"), shingle_col("text", k).alias("sh_p"))
+        )
+        sh_b = sigs.join(
+            cand.select("doc_id").distinct(), "doc_id", "left_semi"
+        ).select("doc_id", shingle_col("text", k).alias("sh_b"))
+        j = cand.join(sh_b, "doc_id").join(sh_p, "id_prev")
+        jac = F.size(F.array_intersect("sh_b", "sh_p")) / F.greatest(
+            F.size(F.array_union("sh_b", "sh_p")), F.lit(1)
+        )
+        suppressed = j.where(jac >= threshold).select("doc_id").distinct()
+        survivors = sigs.join(suppressed, "doc_id", "left_anti")
+
+        # state grows by EVERY doc's signature AND text (suppressed
+        # included — later docs must compare against them)
+        for df, path, cols in (
+            (sigs, state_dir, ["doc_id", "text", "ts", "sig"]),
+            (survivors, out_dir, ["doc_id", "text", "ts"]),
+        ):
+            (
+                df.select(*cols)
+                .withColumn("_stream_batch", F.lit(stream_batch))
+                .write.partitionBy("_stream_batch")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(path)
+            )
+    finally:
+        sigs.unpersist()
+        if cand is not None:
+            _release_local_checkpoint(cand)
+
+
+def start_minhash_near_dedup(
+    doc_feed: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    k: int = 5,
+    **trigger,
+):
+    """Streaming MinHash near-dedup: drop any doc whose exact k-gram
+    Jaccard with ANY earlier doc is ≥ threshold, as it arrives — the
+    in-stream equivalent of batch ``minhash_dup_pairs`` ("drop
+    re-crawls at j≥0.8 as they arrive"), completing the modality set
+    next to the SimHash/Hamming sink (``start_banded_near_dedup``).
+    Same architecture: ``foreachBatch`` over a parquet signature store
+    (multi-key LSH membership is not one dropDuplicates key), sinks
+    partitioned on the stream-carrying batch key, replay-idempotent.
+    Returns the started StreamingQuery."""
+    sid = stream_id_for(checkpoint_dir)
+    sigs = _with_minhash_sigs(doc_feed, num_hashes, k)
+    return (
+        sigs.writeStream.foreachBatch(
+            lambda df, bid: minhash_dedup_batch(
+                df,
+                bid,
+                out_dir,
+                state_dir,
+                threshold,
+                num_hashes,
+                k,
+                stream_id=sid,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -187,6 +187,97 @@ def test_banded_near_dedup_stream_equals_batch_pairs(spark, tmp_path):
     assert len(suppressed) >= 10
 
 
+def test_minhash_near_dedup_stream_equals_batch_pairs(spark, tmp_path):
+    """VERDICT r3 item 3: the streaming MinHash near-dedup's survivor
+    set must be exactly what batch minhash_dup_pairs implies on the
+    landed table — doc b survives iff no pair gives it an earlier
+    partner (ts order == doc_id order here)."""
+    import pandas as pd
+
+    from simplepolygon_spark.operators.dedup import minhash_dup_pairs
+    from simplepolygon_spark.streaming.feed import start_minhash_near_dedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    )
+    ts0 = pd.Timestamp("2026-01-01 00:00:00")
+    rows, did = [], 0
+
+    def add(text):
+        nonlocal did
+        rows.append((did, text, ts0 + pd.Timedelta(seconds=did)))
+        did += 1
+
+    for r in docs:
+        add(r.text)
+    # exact re-posts (j=1) and near-variants (one-word edits: j≥0.9 on
+    # these ~60-word docs)
+    for r in docs[:8]:
+        add(r.text)
+        add(r.text.replace(" ", " x ", 1))
+        add("  " + r.text)
+    feed_dir = str(tmp_path / "mfeed")
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    # three file drops -> three micro-batches (maxFilesPerTrigger=1)
+    for sl in (slice(0, 30), slice(30, 50), slice(50, None)):
+        spark.createDataFrame(pdf[sl]).coalesce(1).write.mode("append").parquet(
+            feed_dir
+        )
+
+    st = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    out_dir = str(tmp_path / "mout")
+    q = start_minhash_near_dedup(
+        st, out_dir, str(tmp_path / "mstate"), str(tmp_path / "mckpt"), threshold=0.8
+    )
+    q.awaitTermination(240)
+    got = {r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect()}
+
+    landed = spark.createDataFrame(pdf)
+    pairs = minhash_dup_pairs(landed, threshold=0.8).collect()
+    suppressed = {p.doc_b for p in pairs}
+    expect = set(pdf.doc_id) - suppressed
+    assert got == expect
+    # the scenario must exercise non-exact (j<1) suppression in-stream
+    assert any(p.jaccard < 1.0 for p in pairs), "no near (non-equal) pair planted"
+    assert len(suppressed) >= 16
+
+
+def test_minhash_dedup_batch_replay_and_candidate_log(spark, tmp_path, capsys):
+    """Replaying the same (batch, batch_id) leaves output and state
+    unchanged; log_candidates reports the per-batch candidate count."""
+    import pandas as pd
+
+    from simplepolygon_spark.streaming.feed import (
+        _with_minhash_sigs,
+        minhash_dedup_batch,
+    )
+
+    ts0 = pd.Timestamp("2026-01-01")
+    base = "a long enough document body to shingle meaningfully number"
+    pdf = pd.DataFrame(
+        [(i, f"{base} {i}", ts0 + pd.Timedelta(seconds=i)) for i in range(12)]
+        + [(100, f"{base} 0", ts0 + pd.Timedelta(seconds=100))],
+        columns=["doc_id", "text", "ts"],
+    )
+    sigs = _with_minhash_sigs(spark.createDataFrame(pdf))
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    minhash_dedup_batch(sigs, 0, out, state, threshold=0.95, log_candidates=True)
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert 100 not in first  # the re-post was suppressed
+    assert "candidate pairs" in capsys.readouterr().out
+    minhash_dedup_batch(sigs, 0, out, state, threshold=0.95)  # replay
+    again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert first == again
+    assert spark.read.parquet(state).count() == 13
+
+
 def test_banded_dedup_batch_replay_is_idempotent(spark, tmp_path):
     """foreachBatch replays a failed micro-batch: re-running the same
     (batch, batch_id) must leave output and state unchanged."""
