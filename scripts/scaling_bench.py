@@ -6,14 +6,32 @@ multi-node cluster available): the same flagship job runs at local[3]
 and local[12] — N and 4N cores, chosen so the 4N level's JVM task
 threads + Python Arrow workers + JVM service threads (GC, pipe I/O,
 shuffle) fit the 32-CPU host with headroom, which a real 4N-executor
-cluster has by construction (each executor brings its own cores).  Throughput = images/sec
-through the fused single-pass operator (SPIM decode + PSNR + caption
-check + PIP tile assignment in ONE scan of the byte column) — the
-compute profile of the real 100 TB pipeline, where per-image
-decode/geometry work dominates and scales with cores.  Both levels stay
-alive and measurements alternate N, 4N, N, 4N (paired design) so
-time-varying host load affects both equally; efficiency is the median
-of per-pair (T_N / T_4N) / 4 ratios.  Gate ≥ 0.8 (BASELINE.json:2,14).
+cluster has by construction (each executor brings its own cores).
+Throughput = images/sec through the fused single-pass operator (SPIM
+decode + PSNR + caption check + PIP tile assignment in ONE scan of the
+byte column) — the compute profile of the real 100 TB pipeline, where
+per-image decode/geometry work dominates and scales with cores.
+
+Measurement protocol (hardened round 4, per VERDICT r3 #1):
+
+* paired interleaved design — both levels stay alive, measurements
+  alternate N, 4N, N, 4N so time-varying host load hits both equally;
+* each pair takes the MIN of SCALE_REPS (default 3) interleaved
+  repeats per level (timeit rationale inside the pair: a steal burst
+  must hit every repeat of a level to contaminate that pair);
+* steal-burst pair rejection — a pair whose within-level repeat
+  spread (max/min − 1) exceeds SCALE_SPREAD_BOUND (default 0.25) at
+  either level was visibly contaminated and is DISCARDED (measurement
+  hygiene, not data selection: the spread is computed from repeat
+  times only, never from the ratio); discarded pairs are disclosed
+  with their raw numbers, and extra pairs are measured so each run
+  still reports SCALE_PAIRS clean pairs;
+* SCALE_RUNS (default 3) full runs back-to-back, each reporting BOTH
+  estimators — median of per-pair ratios AND minimum-based — with the
+  gate requiring median-paired ≥ 0.8 and min-based ≥ 0.85 on EVERY
+  run, not on a favorable run or a favorable estimator;
+* hypervisor steal is sampled from /proc/stat around each run and
+  disclosed, so "quiet window" is evidenced, not asserted.
 
 Each level runs in its own subprocess so the JVM is sized to the level.
 """
@@ -25,6 +43,7 @@ import os
 import statistics
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -105,57 +124,147 @@ class Level:
             self.proc.kill()
 
 
+def steal_seconds() -> float:
+    """Cumulative hypervisor-steal seconds from /proc/stat (cpu line,
+    field 8), or -1 where unavailable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return -1.0
+
+
+def spread(xs: list[float]) -> float:
+    return max(xs) / min(xs) - 1.0
+
+
+def one_run(
+    lo: Level, hi: Level, n_pairs: int, n_reps: int, spread_bound: float
+) -> dict:
+    clean, discarded = [], []
+    attempts = 0
+    max_attempts = n_pairs * 3
+    st0, w0 = steal_seconds(), time.monotonic()
+    while len(clean) < n_pairs and attempts < max_attempts:
+        attempts += 1
+        la, lb = [], []
+        for _ in range(n_reps):
+            la.append(round(lo.run_once(), 3))
+            lb.append(round(hi.run_once(), 3))
+        rec = {
+            "t3_reps": la,
+            "t12_reps": lb,
+            "t3": min(la),
+            "t12": min(lb),
+            "spread3": round(spread(la), 3),
+            "spread12": round(spread(lb), 3),
+            "eff": round(min(la) / min(lb) / 4.0, 3),
+        }
+        if rec["spread3"] > spread_bound or rec["spread12"] > spread_bound:
+            discarded.append(rec)
+            print(f"  pair DISCARDED (steal burst): {rec}")
+        else:
+            clean.append(rec)
+            print(
+                f"  pair {len(clean)}: local[3]={rec['t3']:.2f}s "
+                f"local[12]={rec['t12']:.2f}s eff={rec['eff']}"
+            )
+    st1, w1 = steal_seconds(), time.monotonic()
+    if not clean:
+        # a window so contended that every pair was discarded: record
+        # the failure honestly rather than crash — the caller's gate
+        # treats it as a failed run
+        return {
+            "pairs": [],
+            "discarded": discarded,
+            "n_discarded": len(discarded),
+            "pair_efficiencies": [],
+            "efficiency_median_paired": 0.0,
+            "efficiency_min_based": 0.0,
+            "steal_sec_during_run": round(st1 - st0, 2) if st0 >= 0 else None,
+            "wall_sec": round(w1 - w0, 1),
+        }
+    t3 = [p["t3"] for p in clean]
+    t12 = [p["t12"] for p in clean]
+    pair_eff = [p["eff"] for p in clean]
+    return {
+        "pairs": clean,
+        "discarded": discarded,
+        "n_discarded": len(discarded),
+        "pair_efficiencies": pair_eff,
+        "t3": t3,
+        "t12": t12,
+        "median3": round(statistics.median(t3), 3),
+        "median12": round(statistics.median(t12), 3),
+        "efficiency_median_paired": round(statistics.median(pair_eff), 3),
+        "efficiency_min_based": round(min(t3) / min(t12) / 4.0, 3),
+        "steal_sec_during_run": round(st1 - st0, 2) if st0 >= 0 else None,
+        "wall_sec": round(w1 - w0, 1),
+    }
+
+
 def main() -> None:
     n_images = int(os.environ.get("SCALE_IMAGES", "600000"))
     n_pairs = int(os.environ.get("SCALE_PAIRS", "6"))
-    n_reps = int(os.environ.get("SCALE_REPS", "2"))
-    # paired interleaved design: both levels stay alive, measurements
-    # alternate N, 4N, N, 4N ... so time-varying host load (hypervisor
-    # steal) hits both levels equally; efficiency is the median of the
-    # per-pair ratios.  Each pair takes the MIN of SCALE_REPS
-    # interleaved repeats per level (timeit rationale applied inside
-    # the pair): a steal burst must now hit every repeat of a level to
-    # contaminate that pair's ratio, instead of any single run.
+    n_reps = int(os.environ.get("SCALE_REPS", "3"))
+    n_runs = int(os.environ.get("SCALE_RUNS", "3"))
+    spread_bound = float(os.environ.get("SCALE_SPREAD_BOUND", "0.25"))
+
     lo = Level(3, n_images)
     hi = Level(12, n_images)
-    t3, t12, pair_eff = [], [], []
+    runs = []
     try:
-        for i in range(n_pairs):
-            la, lb = [], []
-            for _ in range(n_reps):
-                la.append(lo.run_once())
-                lb.append(hi.run_once())
-            a, b = min(la), min(lb)
-            t3.append(round(a, 3))
-            t12.append(round(b, 3))
-            pair_eff.append(round(a / b / 4.0, 3))
-            print(f"pair {i}: local[3]={a:.2f}s local[12]={b:.2f}s eff={pair_eff[-1]}")
+        jsonl = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+        os.makedirs(os.path.dirname(jsonl), exist_ok=True)
+        for r in range(n_runs):
+            print(f"run {r + 1}/{n_runs}:")
+            runs.append(one_run(lo, hi, n_pairs, n_reps, spread_bound))
+            # incremental evidence: a killed invocation still leaves
+            # every completed run's raw data on disk
+            with open(jsonl, "a") as jf:
+                jf.write(json.dumps(runs[-1]) + "\n")
+            summary = {
+                k: runs[-1][k]
+                for k in (
+                    "efficiency_median_paired",
+                    "efficiency_min_based",
+                    "n_discarded",
+                    "steal_sec_during_run",
+                )
+            }
+            print(f"run {r + 1} summary: {json.dumps(summary)}")
     finally:
         lo.stop()
         hi.stop()
 
-    med3 = statistics.median(t3)
-    med12 = statistics.median(t12)
-    levels = {
-        3: {"median_sec": round(med3, 3), "min_sec": min(t3), "images_per_sec": round(n_images / med3, 1), "times": t3},
-        12: {"median_sec": round(med12, 3), "min_sec": min(t12), "images_per_sec": round(n_images / med12, 1), "times": t12},
-    }
-    # two robust estimators under hypervisor-steal noise:
-    # median of paired ratios, and the timeit-style minimum (interference
-    # only ever inflates a run, so the minimum is the least-contended
-    # estimate of true capability at each level)
-    eff_median = statistics.median(pair_eff)
-    eff_min = min(t3) / min(t12) / 4.0
+    all_pass = all(
+        r["efficiency_median_paired"] >= 0.8 and r["efficiency_min_based"] >= 0.85
+        for r in runs
+    )
+    # headline = the WORST run's worst estimator: the conservative gate
+    headline = min(
+        min(r["efficiency_median_paired"], r["efficiency_min_based"]) for r in runs
+    )
     result = {
         "images": n_images,
-        "levels": levels,
-        "pair_efficiencies": pair_eff,
-        "efficiency_median_paired": round(eff_median, 3),
-        "efficiency": round(max(eff_median, eff_min), 3),
-        "efficiency_min_based": round(eff_min, 3),
+        "reps_per_level_per_pair": n_reps,
+        "spread_bound": spread_bound,
+        "runs": runs,
+        "all_runs_pass": all_pass,
+        "efficiency": headline,
+        "efficiency_median_paired": min(r["efficiency_median_paired"] for r in runs),
+        "efficiency_min_based": min(r["efficiency_min_based"] for r in runs),
     }
-    print(json.dumps(result))
+    print(json.dumps({k: v for k, v in result.items() if k != "runs"}))
 
+    run_rows = "\n".join(
+        f"| {i + 1} | {r['efficiency_median_paired']} | {r['efficiency_min_based']} "
+        f"| {r['n_discarded']} | {r['steal_sec_during_run']} | {r['median3']} "
+        f"| {r['median12']} |"
+        for i, r in enumerate(runs)
+    )
+    last = runs[-1]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
@@ -164,34 +273,42 @@ def main() -> None:
 ## Scaling: same job, same input, two parallelism levels
 
 Sandbox stand-in for N → 4N executors (no multi-node cluster; per
-driver instruction): `local[3]` vs `local[12]` — N and 4N cores, sized so the 4N level's
-JVM task threads + Python workers + JVM service threads (GC, pipe I/O)
-fit the 32-CPU host with headroom (a real 4N-executor cluster brings
-its own cores per executor).  Job: fused single-pass validate+assign
-(SPIM decode + PSNR + caption equality + PIP tile assignment, one
-scan of the byte column) over
-{n_images:,} generated images with real bytes — the compute profile of
-the 100 TB pipeline.  Paired interleaved measurement (levels alternate
-in time so host-load variation cancels), median of
-{len(result['pair_efficiencies'])} pairs after warm-up, each pair the
-min of {n_reps} interleaved repeats per level (a steal burst must hit
-every repeat of a level to contaminate a pair); identical
-96-partition input at both levels.
+driver instruction): `local[3]` vs `local[12]` — N and 4N cores, sized
+so the 4N level's JVM task threads + Python workers + JVM service
+threads (GC, pipe I/O) fit the 32-CPU host with headroom (a real
+4N-executor cluster brings its own cores per executor).  Job: fused
+single-pass validate+assign (SPIM decode + PSNR + caption equality +
+PIP tile assignment, one scan of the byte column) over {n_images:,}
+generated images with real bytes — the compute profile of the 100 TB
+pipeline.
 
-| level | median sec | images/sec |
-|---|---|---|
-| local[3]  (N)  | {levels[3]['median_sec']} | {levels[3]['images_per_sec']:,} |
-| local[12] (4N) | {levels[12]['median_sec']} | {levels[12]['images_per_sec']:,} |
+Protocol (hardened round 4): paired interleaved measurement (levels
+alternate in time so host-load variation cancels); each pair = min of
+{n_reps} interleaved repeats per level; a pair whose within-level
+repeat spread exceeds {spread_bound:.0%} at either level is discarded
+as steal-contaminated (disclosed below — the spread test uses repeat
+times only, never the ratio, so it cannot select for favorable
+efficiency); {n_runs} consecutive runs, and the gate requires
+median-paired ≥ 0.8 AND min-based ≥ 0.85 on EVERY run.  Hypervisor
+steal is sampled from /proc/stat per run.  Identical 96-partition
+input at both levels.
 
-**Scaling efficiency = {result['efficiency']}** (gate: ≥ 0.8,
-BASELINE.json:2,14) — reported as the better of two robust estimators
-under hypervisor-steal noise (see notes): median of paired ratios =
-{result['efficiency_median_paired']}, minimum-based (timeit-style,
-least-contended run per level) = {result['efficiency_min_based']}.
-Per-pair ratios: {result['pair_efficiencies']}; raw per-level times in
-`raw` below.
+| run | eff (median-paired) | eff (min-based) | pairs discarded | steal sec | local[3] median s | local[12] median s |
+|---|---|---|---|---|---|---|
+{run_rows}
 
-raw: `{json.dumps(result)}`
+**Scaling efficiency = {result['efficiency']}** (gate ≥ 0.8,
+BASELINE.json:2,14) — the WORST run's WORST estimator across
+{n_runs} consecutive runs ({'ALL runs pass both estimator gates'
+    if all_pass else 'NOT all runs passed — see table'}).
+Last run throughput: local[3] {n_images / last['median3']:,.0f}
+images/s, local[12] {n_images / last['median12']:,.0f} images/s.
+
+Raw per-run data (every repeat of every pair, discards included):
+
+```json
+{json.dumps(result, indent=1)}
+```
 
 ### Notes on measurement
 
@@ -207,9 +324,11 @@ raw: `{json.dumps(result)}`
   the official levels leave headroom.
 - This virtualized host shows heavy time-varying interference:
   identical runs at one level vary up to 50% minutes apart (top shows
-  nonzero steal). Hence the paired interleaved design and the
-  minimum-based estimator (interference only ever inflates a run —
-  the same rationale as Python timeit's documented use of min).
+  nonzero steal).  Hence the paired interleaved design, the per-pair
+  min-of-repeats, and the spread-based pair rejection; the
+  minimum-based estimator exists because interference only ever
+  inflates a run (the same rationale as Python timeit's documented
+  use of min).
 - Local mode has a ~0.5-1 s per-job serial floor (task dispatch +
   Python-runner sockets); measured jobs are sized to amortize it.
 
@@ -221,6 +340,7 @@ section).  Decomposition parity is gated by the fixture suite; engine
 operator timings land in `BENCH_r*.json` via `bench.py`.
 """
         )
+    print("wrote BENCH/BASELINE.md; all_runs_pass =", all_pass)
 
 
 if __name__ == "__main__":
