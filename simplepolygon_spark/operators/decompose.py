@@ -114,10 +114,15 @@ def _decompose_batches(
                 # an executor for hours; the vertex count is the cheap
                 # static proxy (crossing blow-up is already bounded by
                 # the sweep's pair_cap inside the kernel)
+                # NULL ring elements are skipped in the count (len(None)
+                # would raise a bare TypeError that escapes the
+                # DecomposeError handler and kills a skip-mode job); the
+                # kernel below still rejects them with its typed error
                 if (
                     max_vertices is not None
                     and not nul
-                    and (nv := sum(len(r) for r in rings)) > max_vertices
+                    and (nv := sum(len(r) for r in rings if r is not None))
+                    > max_vertices
                 ):
                     raise _oversize_error(nv, max_vertices)
                 # rings arrive as numpy object arrays; decompose()'s own
@@ -271,8 +276,12 @@ def validate_polygons(
                         pass  # [] is valid: empty FeatureCollection
                     elif (
                         max_vertices is not None
-                        and (nv := sum(len(r) for r in rings)) > max_vertices
+                        and (nv := sum(len(r) for r in rings if r is not None))
+                        > max_vertices
                     ):
+                        # NULL rings skipped in the count so the typed
+                        # "non-null array" kernel message (not a raw
+                        # TypeError) stays the report for NULL-ring rows
                         raise _oversize_error(nv, max_vertices)
                     else:
                         decompose(list(rings))

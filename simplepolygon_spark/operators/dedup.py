@@ -92,10 +92,15 @@ def ngram_jaccard_pairs_lsh(
     threshold) for same-``block_col`` docs, candidates via MinHash
     banding (threshold-derived geometry, ``bands_for_threshold``) with
     the block key joined into the bucket key, exact distinct-k-gram
-    Jaccard recomputed on candidates only.  Identical output definition
-    to the exhaustive form; recall follows the LSH S-curve (≥63% AT the
-    threshold, →1 above the knee) instead of exhaustive — the standard
-    trade that removes the quadratic within-block join."""
+    Jaccard recomputed on candidates only.  Same output columns and the
+    same exact-Jaccard pair definition as the exhaustive form; recall is
+    governed by the LSH S-curve (≥63% AT the threshold, →1 above the
+    knee) FURTHER reduced by ``minhash_dup_pairs``' signature-estimate
+    pre-filter, which drops candidates whose matching-minhash fraction
+    strays below threshold − est_margin even when their exact Jaccard
+    clears the threshold (a tail event of the 64-hash estimator's
+    ±margin band).  The standard trade that removes the quadratic
+    within-block join; size recall expectations from both terms."""
     return minhash_dup_pairs(
         docs,
         num_hashes=num_hashes,
@@ -215,13 +220,12 @@ def minhash_doc_sigs(
     )
 
 
-def _band_buckets_from_sigs(
-    sigs: DataFrame, bands: int, rows_per_band: int, carry: tuple = ()
-) -> DataFrame:
-    """(doc_id, *carry, band, band_hash) derived from sig with JVM
-    expressions; ``carry`` columns (e.g. a blocking key) ride the
-    explode so they need no post-hoc join against the melted frame."""
-    band_arr = F.transform(
+def _band_hash_array(bands: int, rows_per_band: int):
+    """Column expression: array of ``bands`` xxhash64 band keys over a
+    ``sig`` array<long> column — the ONE banding definition, shared by
+    the batch melt and the streaming store (which persists the computed
+    array so later micro-batches never re-hash the store)."""
+    return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(
             F.concat_ws(
@@ -233,8 +237,20 @@ def _band_buckets_from_sigs(
             )
         ),
     )
+
+
+def _band_buckets_from_sigs(
+    sigs: DataFrame, bands: int, rows_per_band: int, carry: tuple = ()
+) -> DataFrame:
+    """(doc_id, *carry, band, band_hash) derived from sig with JVM
+    expressions; ``carry`` columns (e.g. a blocking key) ride the
+    explode so they need no post-hoc join against the melted frame."""
     return sigs.select(
-        "doc_id", *carry, F.posexplode(band_arr).alias("band", "band_hash")
+        "doc_id",
+        *carry,
+        F.posexplode(_band_hash_array(bands, rows_per_band)).alias(
+            "band", "band_hash"
+        ),
     )
 
 

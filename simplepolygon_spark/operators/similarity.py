@@ -199,49 +199,52 @@ def kmeans_fit_distributed(
     d0 = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     ).persist()
-    if init is None:
-        first = (
-            d0.withColumn("_o", F.md5(F.col("_id").cast("string")))
-            .orderBy("_o", "_id")
-            .limit(n_centroids)
-            .collect()
-        )
-        C = np.asarray([r._v for r in first], np.float64)
-    else:
-        C = np.asarray(init, np.float64).copy()
-    k = len(C)
-
-    schema = "cid int, cnt long, sums array<double>"
-
-    def make_run(C_now: np.ndarray):
-        def run(batches):
-            for batch in batches:
-                arr = batch.column("_v")
-                n = len(arr)
-                if n == 0:
-                    continue
-                X = _emb_matrix(arr)
-                dist = ((X[:, None, :] - C_now[None, :, :]) ** 2).sum(axis=2)
-                a = dist.argmin(axis=1)
-                cids, cnts, sums = [], [], []
-                for c in np.unique(a):
-                    m = a == c
-                    cids.append(int(c))
-                    cnts.append(int(m.sum()))
-                    sums.append(X[m].sum(axis=0).tolist())
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(cids, pa.int32()),
-                        pa.array(cnts, pa.int64()),
-                        pa.array(sums, pa.list_(pa.float64())),
-                    ],
-                    names=["cid", "cnt", "sums"],
-                )
-
-        return run
-
-    used = 0
+    # everything after the persist — including the default-init collect,
+    # which can fail on malformed vectors — sits under the unpersist
+    # finally, or an init-time failure would leak the cached projection
     try:
+        if init is None:
+            first = (
+                d0.withColumn("_o", F.md5(F.col("_id").cast("string")))
+                .orderBy("_o", "_id")
+                .limit(n_centroids)
+                .collect()
+            )
+            C = np.asarray([r._v for r in first], np.float64)
+        else:
+            C = np.asarray(init, np.float64).copy()
+        k = len(C)
+
+        schema = "cid int, cnt long, sums array<double>"
+
+        def make_run(C_now: np.ndarray):
+            def run(batches):
+                for batch in batches:
+                    arr = batch.column("_v")
+                    n = len(arr)
+                    if n == 0:
+                        continue
+                    X = _emb_matrix(arr)
+                    dist = ((X[:, None, :] - C_now[None, :, :]) ** 2).sum(axis=2)
+                    a = dist.argmin(axis=1)
+                    cids, cnts, sums = [], [], []
+                    for c in np.unique(a):
+                        m = a == c
+                        cids.append(int(c))
+                        cnts.append(int(m.sum()))
+                        sums.append(X[m].sum(axis=0).tolist())
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(cids, pa.int32()),
+                            pa.array(cnts, pa.int64()),
+                            pa.array(sums, pa.list_(pa.float64())),
+                        ],
+                        names=["cid", "cnt", "sums"],
+                    )
+
+            return run
+
+        used = 0
         for _ in range(iters):
             used += 1
             partials = d0.select("_v").mapInArrow(make_run(C), schema)

@@ -426,7 +426,7 @@ def minhash_dedup_batch(
     from pyspark.errors import AnalysisException
 
     from ..operators.dedup import (
-        _band_buckets_from_sigs,
+        _band_hash_array,
         _release_local_checkpoint,
         bands_for_threshold,
         shingle_col,
@@ -434,20 +434,44 @@ def minhash_dedup_batch(
 
     bands = bands_for_threshold(num_hashes, threshold)
     r = num_hashes // bands
-    sigs = batch.persist()
+    # band keys are computed ONCE per doc (here, on arrival) and
+    # PERSISTED in the store, so every later micro-batch melts the
+    # stored array instead of re-hashing the whole store's signatures —
+    # without this the per-batch cost grows O(|store| · bands) forever
+    sigs = batch.withColumn("band_hashes", _band_hash_array(bands, r)).persist()
     cand = None
     try:
         try:
             state = spark.read.parquet(state_dir).where(
                 F.col("_stream_batch") != stream_batch
             )
+            # loud banding guard: a store written under a DIFFERENT
+            # threshold/num_hashes has incomparable band keys — joining
+            # them would silently miss every cross-batch duplicate.
+            # Parquet row-group stats satisfy the != pushdown without
+            # reading data when the store is clean.
+            if state.where(F.col("_bands") != bands).limit(1).count() > 0:
+                raise ValueError(
+                    f"minhash signature store at {state_dir} was written "
+                    f"with a different banding than the current "
+                    f"threshold/num_hashes derive ({bands} bands); "
+                    "re-banding an existing store requires a batch "
+                    "rebuild, not a silent mix"
+                )
         except AnalysisException:
             state = None  # first batch: no store yet; other errors propagate
-        prior = sigs.select("doc_id", "text", "ts", "sig")
+        prior = sigs.select("doc_id", "text", "ts", "band_hashes")
         if state is not None:
-            prior = prior.unionByName(state.select("doc_id", "text", "ts", "sig"))
-        bm = _band_buckets_from_sigs(sigs, bands, r, carry=("ts",))
-        pm = _band_buckets_from_sigs(prior, bands, r, carry=("ts",)).select(
+            prior = prior.unionByName(
+                state.select("doc_id", "text", "ts", "band_hashes")
+            )
+        melt = lambda df: df.select(
+            "doc_id",
+            "ts",
+            F.posexplode("band_hashes").alias("band", "band_hash"),
+        )
+        bm = melt(sigs)
+        pm = melt(prior).select(
             F.col("doc_id").alias("id_prev"),
             F.col("ts").alias("ts_prev"),
             "band",
@@ -492,10 +516,16 @@ def minhash_dedup_batch(
         suppressed = j.where(jac >= threshold).select("doc_id").distinct()
         survivors = sigs.join(suppressed, "doc_id", "left_anti")
 
-        # state grows by EVERY doc's signature AND text (suppressed
-        # included — later docs must compare against them)
+        # state grows by EVERY doc's signature, band keys, and text
+        # (suppressed included — later docs must compare against them);
+        # sig rides along for provenance/offline re-banding but is
+        # never read on the hot path (columnar: unread = free)
         for df, path, cols in (
-            (sigs, state_dir, ["doc_id", "text", "ts", "sig"]),
+            (
+                sigs.withColumn("_bands", F.lit(bands)),
+                state_dir,
+                ["doc_id", "text", "ts", "sig", "band_hashes", "_bands"],
+            ),
             (survivors, out_dir, ["doc_id", "text", "ts"]),
         ):
             (

@@ -317,6 +317,18 @@ def test_max_vertices_cap_routes_oversized(spark):
         "small",
         "mega",
     }
+    # a NULL ring ELEMENT under the cap must keep its typed kernel
+    # error (skip-mode drops it; validate reports the kernel message,
+    # not a raw TypeError from len(None))
+    dfn = spark.createDataFrame(
+        [("nullring", [square[0], None]), ("ok", square)],
+        "polygon_id string, rings array<array<array<double>>>",
+    )
+    got = decompose_polygons(dfn, on_error="skip", max_vertices=1000).collect()
+    assert {r.polygon_id for r in got} == {"ok"}
+    v = {r.polygon_id: r for r in validate_polygons(dfn, max_vertices=1000).collect()}
+    assert not v["nullring"].ok
+    assert "TypeError" not in v["nullring"].error
 
 
 # ---------------------------------------------------------------------------
