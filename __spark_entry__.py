@@ -945,6 +945,55 @@ def q_dup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_canonical(spark, sf_dir):
+    """Canonical-document selection: every doc gets its near-dup cluster
+    (singletons included) and exactly one doc per cluster keeps —
+    highest length(text) score, ties to lowest doc_id.  The operator
+    resolves best-per-cluster with a map-side-combined max_by aggregate
+    (skew-safe), the oracle with a window; tie order is identical."""
+    from pyspark.sql import functions as F
+
+    from simplepolygon_spark.operators.dedup import (
+        canonicalize_duplicates,
+        minhash_dup_pairs,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    scored = d.withColumn("score", F.length("text").cast("double"))
+    return canonicalize_duplicates(
+        scored,
+        minhash_dup_pairs(d, threshold=0.8, rebalance=par),
+        score_col="score",
+    ).orderBy("doc_id")
+
+
+def _q_canonical_sql():
+    return f"""
+        WITH RECURSIVE pairs AS ({_q_minhash_sql()}),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL
+                  SELECT doc_b AS a, doc_a AS b FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+        ),
+        clus AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+        scored AS (
+          SELECT d.doc_id,
+                 coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                 coalesce(CAST(length(d.text) AS DOUBLE),
+                          CAST('-infinity' AS DOUBLE)) AS s
+          FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id)
+        SELECT doc_id, cluster_id,
+               (row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY s DESC, doc_id ASC) = 1) AS keep
+        FROM scored
+    """
+
+
 def _q_dup_clusters_sql():
     return f"""
         WITH RECURSIVE pairs AS ({_q_minhash_sql()}),
@@ -1306,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
+        "canonical": q_canonical,
         "top_ngrams": q_top_ngrams,
         "repetition": q_repetition,
         "hamming_dups": q_hamming_dups,
@@ -1344,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _q_lang_id_sql(),
         "ngram_jaccard": _q_ngram_jaccard_sql(),
         "ngram_jaccard_lsh": _q_ngram_jaccard_lsh_sql(),
+        "canonical": _q_canonical_sql(),
         "top_ngrams": _q_top_ngrams_sql(),
         "repetition": _q_repetition_sql(),
         "hamming_dups": _q_hamming_dups_sql(),

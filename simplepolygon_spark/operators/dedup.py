@@ -1026,3 +1026,51 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     edges.unpersist()
     _release_local_checkpoint(labels)
     raise RuntimeError(f"dup_clusters did not converge in {max_iters} rounds")
+
+
+def canonicalize_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, cluster_id, keep): the decision step that turns near-dup
+    PAIRS into a training-set selection — every doc gets its connected
+    component (``dup_clusters`` over the pair graph; docs in no pair are
+    their own singleton cluster) and exactly one doc per cluster is
+    kept: the highest ``score_col`` (NULL scores sort lowest), ties to
+    the lowest id.  ``score_col=None`` keeps the lowest id.
+
+    Scale shape: the cluster map is tiny relative to the corpus (only
+    pair-involved docs), so the left join AQE-broadcasts; the
+    best-per-cluster choice is a ``max_by`` AGGREGATE (map-side
+    combined — a giant boilerplate cluster partially reduces in every
+    task) rather than a row_number window, whose single hot partition
+    that cluster would be; the winner map joins back per cluster id.
+    Three narrow exchanges, none carrying text."""
+    score = (
+        F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf")))
+        if score_col is not None
+        else F.lit(0.0)
+    )
+    clusters = dup_clusters(pairs)
+    base = (
+        docs.select(F.col(id_col), score.alias("_s"))
+        .join(clusters.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    # max of (score, -id): highest score, then lowest id — the exact
+    # tie order the oracle's window (score DESC, id ASC) uses
+    best = base.groupBy("cluster_id").agg(
+        F.max_by(F.col(id_col), F.struct(F.col("_s"), (-F.col(id_col)))).alias(
+            "_best"
+        )
+    )
+    return (
+        base.join(best, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            (F.col(id_col) == F.col("_best")).alias("keep"),
+        )
+    )

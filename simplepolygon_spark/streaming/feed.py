@@ -16,6 +16,8 @@ give the streaming path:
   start_minhash_near_dedup — in-stream MinHash/Jaccard near-dedup:
                          "drop re-crawls at j≥0.8 as they arrive";
                          same store architecture, exact-Jaccard verify
+  decontaminate_feed   — drop benchmark-overlapping docs as they arrive
+                         (stateless stream-static broadcast anti-join)
   start_assign_with_lineage — the full ingest→assign→commit sink:
                          foreachBatch writes each micro-batch through
                          the lineage log (exactly-once across replays;
@@ -333,6 +335,24 @@ def start_banded_near_dedup(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def decontaminate_feed(
+    doc_feed: DataFrame, benchmark: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Stream-side exact-overlap decontamination: drop arriving docs
+    whose normalized text fingerprint occurs in the (static) benchmark
+    set — the batch operator applied to the stream.  The stream-static
+    left_anti join is STATELESS (no watermark, no state store, no
+    retraction concerns: membership in a fixed benchmark never changes),
+    so each micro-batch runs the exact broadcast anti-join the batch
+    path runs — fingerprint computed in-scan, benchmark dim broadcast,
+    fact side shuffle-free.  NULL-text docs survive, matching batch
+    ``decontaminate``'s anti-join NULL contract (tested stream ≡ batch
+    on the landed table)."""
+    from ..operators.sampling import decontaminate
+
+    return decontaminate(doc_feed, benchmark, id_col)
 
 
 def _with_minhash_sigs(

@@ -278,6 +278,44 @@ def test_minhash_dedup_batch_replay_and_candidate_log(spark, tmp_path, capsys):
     assert spark.read.parquet(state).count() == 13
 
 
+def test_decontaminate_feed_stream_equals_batch(spark, tmp_path):
+    """Stream-side decontamination ≡ batch decontaminate on the landed
+    table: benchmark-overlapping docs dropped as they arrive, NULL-text
+    docs survive (the anti-join NULL contract)."""
+    import pandas as pd
+
+    from simplepolygon_spark.operators.sampling import decontaminate
+    from simplepolygon_spark.streaming.feed import decontaminate_feed
+
+    rows = [(i, f"training document number {i}") for i in range(12)]
+    rows.append((100, None))  # NULL text must survive
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    feed_dir = str(tmp_path / "dfeed")
+    spark.createDataFrame(pdf).write.parquet(feed_dir)
+    bench = spark.createDataFrame(
+        # match by NORMALIZED fingerprint: case/whitespace variants hit
+        pd.DataFrame(
+            [("  Training DOCUMENT number 4  ",), ("training document number 9",)],
+            columns=["text"],
+        )
+    )
+    st = spark.readStream.schema("doc_id long, text string").parquet(feed_dir)
+    q = (
+        decontaminate_feed(st, bench)
+        .writeStream.format("memory")
+        .queryName("decon_stream")
+        .option("checkpointLocation", str(tmp_path / "dck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.sql("SELECT * FROM decon_stream").collect())
+    landed = spark.createDataFrame(pdf)
+    expect = sorted(r.doc_id for r in decontaminate(landed, bench).collect())
+    assert got == expect
+    assert 100 in got and 4 not in got and 9 not in got
+
+
 def test_banded_dedup_batch_replay_is_idempotent(spark, tmp_path):
     """foreachBatch replays a failed micro-batch: re-running the same
     (batch, batch_id) must leave output and state unchanged."""
