@@ -931,6 +931,38 @@ def _q_minhash_sql(threshold: float = 0.8):
     """
 
 
+def q_covariance(spark, sf_dir):
+    """Distributed covariance of the embedding corpus: one Arrow scan
+    emits per-batch (n, Σx, ΣxxT) partials (d + d² doubles per batch,
+    independent of rows), map-side-combined to the driver — the moment
+    core of the PCA/whitening preprocessing step (operators/stats.py).
+    Oracle recomputes E[xixj] − E[xi]E[xj] relationally in DuckDB."""
+    from simplepolygon_spark.operators.stats import covariance_df
+
+    e = _read(spark, sf_dir, "embeddings")
+    return covariance_df(e).orderBy("i", "j")
+
+
+def _q_covariance_sql():
+    return """
+        WITH u AS (
+          SELECT vec_id, i1 - 1 AS i, embedding[i1] AS x
+          FROM (SELECT vec_id, embedding,
+                       unnest(range(1, len(embedding) + 1)) AS i1
+                FROM embeddings)
+        ),
+        m AS (SELECT i, avg(x) AS mu FROM u GROUP BY i),
+        p AS (SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
+              FROM u a JOIN u b USING (vec_id)
+              GROUP BY a.i, b.i)
+        SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+               round(exy - ma.mu * mb.mu, 6) AS cov
+        FROM p
+        JOIN m ma ON ma.i = p.i
+        JOIN m mb ON mb.i = p.j
+    """
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components (min-label
     propagation) over the verified MinHash pair graph — the
@@ -1356,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "canonical": q_canonical,
+        "covariance": q_covariance,
         "top_ngrams": q_top_ngrams,
         "repetition": q_repetition,
         "hamming_dups": q_hamming_dups,
@@ -1395,6 +1428,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _q_ngram_jaccard_sql(),
         "ngram_jaccard_lsh": _q_ngram_jaccard_lsh_sql(),
         "canonical": _q_canonical_sql(),
+        "covariance": _q_covariance_sql(),
         "top_ngrams": _q_top_ngrams_sql(),
         "repetition": _q_repetition_sql(),
         "hamming_dups": _q_hamming_dups_sql(),

@@ -142,6 +142,9 @@ def main() -> None:
         "quality",
         "embedding_dups",
         "embedding_dups_lsh",
+        "ngram_jaccard_lsh",
+        "canonical",
+        "covariance",
     ):
         timed(name, lambda name=name: Q[name](spark, sf_dir).count())
 

@@ -374,6 +374,69 @@ def test_canonicalize_duplicates(spark):
 
 
 # ---------------------------------------------------------------------------
+# Round-4 extension: distributed covariance / PCA / whitening
+# ---------------------------------------------------------------------------
+
+
+def _pca_corpus(spark, n=200, d=6, seed=5):
+    rng = np.random.default_rng(seed)
+    # anisotropic: distinct eigenvalues so eigenvectors are unique
+    A = rng.standard_normal((d, d))
+    X = rng.standard_normal((n, d)) @ A + rng.standard_normal(d) * 3
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    return X, df
+
+
+def test_covariance_matches_numpy_and_partitioning(spark):
+    from simplepolygon_spark.operators.stats import covariance_matrix
+
+    X, df = _pca_corpus(spark)
+    expect = np.cov(X, rowvar=False, bias=True)
+    got = covariance_matrix(df.repartition(7))
+    assert np.allclose(got, expect, atol=1e-10)
+    got2 = covariance_matrix(df.coalesce(1))
+    assert np.allclose(got, got2, atol=1e-10)
+
+
+def test_pca_fit_matches_numpy(spark):
+    from simplepolygon_spark.operators.stats import pca_fit
+
+    X, df = _pca_corpus(spark)
+    model = pca_fit(df, k=3)
+    C = np.cov(X, rowvar=False, bias=True)
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:3]
+    comps = V[:, order].T
+    for r in range(3):  # same sign canonicalization
+        j = int(np.abs(comps[r]).argmax())
+        if comps[r, j] < 0:
+            comps[r] = -comps[r]
+    assert np.allclose(model["eigvals"], w[order], rtol=1e-9)
+    assert np.allclose(model["components"], comps, atol=1e-9)
+    assert np.allclose(model["mean"], X.mean(axis=0), atol=1e-10)
+
+
+def test_pca_project_whiten_decorrelates(spark):
+    from simplepolygon_spark.operators.stats import pca_fit, pca_project
+
+    X, df = _pca_corpus(spark, n=400)
+    model = pca_fit(df, k=4)
+    out = pca_project(df, model, whiten=True).orderBy("vec_id").collect()
+    P = np.asarray([r.projected for r in out])
+    assert P.shape == (400, 4)
+    C = np.cov(P, rowvar=False, bias=True)
+    # whitened: identity covariance (population, same divisor)
+    assert np.allclose(C, np.eye(4), atol=1e-6)
+    # projection reproduces the numpy computation exactly
+    comps = model["components"] / np.sqrt(model["eigvals"])[:, None]
+    expect = (X - model["mean"]) @ comps.T
+    assert np.allclose(P, expect, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r3 wrong-#2: qnt codec masks before the uint8 cast — runs
 # clean under DeprecationWarning-as-error
 # ---------------------------------------------------------------------------
