@@ -1041,36 +1041,45 @@ def canonicalize_duplicates(
     kept: the highest ``score_col`` (NULL scores sort lowest), ties to
     the lowest id.  ``score_col=None`` keeps the lowest id.
 
-    Scale shape: the cluster map is tiny relative to the corpus (only
-    pair-involved docs), so the left join AQE-broadcasts; the
-    best-per-cluster choice is a ``max_by`` AGGREGATE (map-side
-    combined — a giant boilerplate cluster partially reduces in every
-    task) rather than a row_number window, whose single hot partition
-    that cluster would be; the winner map joins back per cluster id.
-    Three narrow exchanges, none carrying text."""
+    Scale shape: a singleton's winner is itself, so the best-per-cluster
+    choice only ever runs over PAIR-INVOLVED docs — an inner join of the
+    (id, score) projection against the tiny cluster map (AQE broadcasts
+    it; the corpus side never shuffles), then a map-side-combined
+    ``max_by`` aggregate over that small set (an aggregate, not a
+    row_number window: a giant boilerplate cluster partially reduces in
+    every task instead of becoming one hot window partition).  The
+    corpus-wide output is two broadcast-sized left joins on the pruned
+    (id, score) projection — no corpus shuffle, no corpus-wide
+    aggregate, text never read."""
     score = (
         F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf")))
         if score_col is not None
         else F.lit(0.0)
     )
-    clusters = dup_clusters(pairs)
-    base = (
-        docs.select(F.col(id_col), score.alias("_s"))
-        .join(clusters.withColumnRenamed("doc_id", id_col), id_col, "left")
-        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
-    )
+    clusters = dup_clusters(pairs).withColumnRenamed("doc_id", id_col)
+    scored = docs.select(F.col(id_col), score.alias("_s"))
     # max of (score, -id): highest score, then lowest id — the exact
     # tie order the oracle's window (score DESC, id ASC) uses
-    best = base.groupBy("cluster_id").agg(
-        F.max_by(F.col(id_col), F.struct(F.col("_s"), (-F.col(id_col)))).alias(
-            "_best"
+    best = (
+        scored.join(clusters, id_col)  # inner: clustered docs only
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(F.col(id_col), F.struct(F.col("_s"), (-F.col(id_col)))).alias(
+                "_best"
+            )
         )
     )
     return (
-        base.join(best, "cluster_id")
+        scored.join(clusters, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .join(best, "cluster_id", "left")
         .select(
             id_col,
             "cluster_id",
-            (F.col(id_col) == F.col("_best")).alias("keep"),
+            # singleton clusters carry no winner row: NULL == id is
+            # NULL, coalesced to True (a singleton always keeps)
+            F.coalesce(F.col(id_col) == F.col("_best"), F.lit(True)).alias(
+                "keep"
+            ),
         )
     )
