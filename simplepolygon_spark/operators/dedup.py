@@ -1058,15 +1058,18 @@ def canonicalize_duplicates(
     )
     clusters = dup_clusters(pairs).withColumnRenamed("doc_id", id_col)
     scored = docs.select(F.col(id_col), score.alias("_s"))
-    # max of (score, -id): highest score, then lowest id — the exact
-    # tie order the oracle's window (score DESC, id ASC) uses
+    # min of (-score, id): highest score, then lowest id — the exact
+    # tie order the oracle's window (score DESC, id ASC) uses.  The id
+    # rides the struct ORDER (not a negation), so string ids compare
+    # lexicographically instead of failing UnaryMinus under ANSI.
     best = (
         scored.join(clusters, id_col)  # inner: clustered docs only
         .groupBy("cluster_id")
         .agg(
-            F.max_by(F.col(id_col), F.struct(F.col("_s"), (-F.col(id_col)))).alias(
-                "_best"
-            )
+            F.min_by(
+                F.col(id_col),
+                F.struct((-F.col("_s")).alias("ns"), F.col(id_col).alias("tid")),
+            ).alias("_best")
         )
     )
     return (

@@ -141,9 +141,7 @@ def pack_sequences_sharded(
     )
 
 
-def decontaminate(
-    train: DataFrame, benchmark: DataFrame, id_col: str = "doc_id"
-) -> DataFrame:
+def decontaminate(train: DataFrame, benchmark: DataFrame) -> DataFrame:
     """Training rows whose normalized text fingerprint does NOT occur
     in the benchmark set (exact-overlap decontamination).  The
     fingerprint is computed IN the train scan (a column, not a join —

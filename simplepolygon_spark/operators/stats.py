@@ -72,7 +72,19 @@ def moment_sums(emb: DataFrame, vec_col: str = "embedding"):
     )
     if not rows:
         raise ValueError("moment_sums: empty corpus")
-    total = max(r.cnt for r in rows)
+    # every index must have seen EVERY row: a corpus mixing embedding
+    # dimensions (each batch internally rectangular, so _emb_matrix
+    # cannot catch it) produces short batches that skip the tail
+    # indices — the counts disagree, and summing such moments would
+    # silently conflate s[i] of one dimension with ss[j] of another
+    counts = {r.cnt for r in rows}
+    if len(counts) != 1:
+        raise ValueError(
+            "moment_sums: mixed embedding dimensions in the corpus "
+            f"(per-index row counts disagree: {sorted(counts)}); split "
+            "the corpus by dimension first"
+        )
+    total = counts.pop()
     vals = np.zeros(len(rows))
     for r in rows:
         vals[r.i] = r.v
@@ -103,10 +115,13 @@ def covariance_df(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     C = covariance_matrix(emb, vec_col)
     spark = emb.sparkSession
     d = C.shape[0]
-    rows = [
-        (i, j, round(float(C[i, j]), 6)) for i in range(d) for j in range(d)
-    ]
-    return spark.createDataFrame(rows, "i int, j int, cov double")
+    rows = [(i, j, float(C[i, j])) for i in range(d) for j in range(d)]
+    # round in Spark SQL (HALF_UP — the same mode DuckDB's round uses),
+    # not Python round() (banker's half-even): across d² gated entries
+    # a half-boundary value would otherwise flip the hash
+    return spark.createDataFrame(rows, "i int, j int, cov double").select(
+        "i", "j", F.round("cov", 6).alias("cov")
+    )
 
 
 def pca_fit(
@@ -121,7 +136,13 @@ def pca_fit(
     n, s, ss = moment_sums(emb, vec_col)
     mean = s / n
     C = ss / n - np.outer(mean, mean)
+    if not (1 <= k <= C.shape[0]):
+        raise ValueError(f"pca_fit: k ({k}) must be in [1, d={C.shape[0]}]")
     w, V = np.linalg.eigh(C)  # ascending eigenvalues
+    # a rank-deficient corpus (n < d, collinear dims) yields numerically
+    # NEGATIVE null-space eigenvalues (~||C||·d·ulp); clamp to 0 so a
+    # later whitening sqrt cannot go NaN-silent
+    w = np.maximum(w, 0.0)
     order = np.argsort(w)[::-1][:k]
     comps = V[:, order].T  # k × d
     for r in range(comps.shape[0]):
@@ -147,7 +168,11 @@ def pca_project(
     mean = np.asarray(model["mean"], np.float64)
     comps = np.asarray(model["components"], np.float64)
     if whiten:
-        comps = comps / np.sqrt(np.asarray(model["eigvals"]) + eps)[:, None]
+        # clamp defensively even though pca_fit already clamps — a
+        # hand-built model with a negative eigenvalue must not produce
+        # silent all-NaN projections
+        ev = np.maximum(np.asarray(model["eigvals"], np.float64), 0.0)
+        comps = comps / np.sqrt(ev + eps)[:, None]
     schema = f"{id_col} long, projected array<double>"
 
     def run(batches):

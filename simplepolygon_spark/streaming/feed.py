@@ -337,9 +337,7 @@ def start_banded_near_dedup(
     )
 
 
-def decontaminate_feed(
-    doc_feed: DataFrame, benchmark: DataFrame, id_col: str = "doc_id"
-) -> DataFrame:
+def decontaminate_feed(doc_feed: DataFrame, benchmark: DataFrame) -> DataFrame:
     """Stream-side exact-overlap decontamination: drop arriving docs
     whose normalized text fingerprint occurs in the (static) benchmark
     set — the batch operator applied to the stream.  The stream-static
@@ -352,7 +350,7 @@ def decontaminate_feed(
     on the landed table)."""
     from ..operators.sampling import decontaminate
 
-    return decontaminate(doc_feed, benchmark, id_col)
+    return decontaminate(doc_feed, benchmark)
 
 
 def _with_minhash_sigs(

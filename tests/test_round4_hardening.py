@@ -419,6 +419,72 @@ def test_pca_fit_matches_numpy(spark):
     assert np.allclose(model["mean"], X.mean(axis=0), atol=1e-10)
 
 
+def test_moment_sums_mixed_dims_raise(spark):
+    from simplepolygon_spark.operators.stats import covariance_matrix
+
+    # dims split ACROSS Arrow batches of one task (each batch internally
+    # rectangular, so _emb_matrix's ragged check passes) — force small
+    # batches so the dim boundary falls between them; only the per-index
+    # count check catches the cross-batch mix
+    rows = [(i, [float(i)] * 4) for i in range(5)] + [
+        (10 + i, [float(i)] * 8) for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "5")
+    try:
+        with pytest.raises(Exception, match="mixed embedding dimensions"):
+            covariance_matrix(df)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_pca_whiten_rank_deficient_no_nan(spark):
+    from simplepolygon_spark.operators.stats import pca_fit, pca_project
+
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((6, 8))  # n < d: null-space eigenvalues
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    model = pca_fit(df, k=8)
+    assert (np.asarray(model["eigvals"]) >= 0).all()
+    P = np.asarray(
+        [r.projected for r in pca_project(df, model, whiten=True).collect()]
+    )
+    assert np.isfinite(P).all(), "whitening produced NaN/inf on null space"
+    with pytest.raises(ValueError, match="must be in"):
+        pca_fit(df, k=9)
+
+
+def test_canonicalize_string_ids(spark):
+    from simplepolygon_spark.operators.dedup import canonicalize_duplicates
+
+    docs = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 2.0), ("z", 9.0)],
+        "doc_id string, score double",
+    )
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], "doc_a string, doc_b string")
+    got = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in canonicalize_duplicates(docs, pairs, score_col="score").collect()
+    }
+    # tie between b and c at 2.0 → lexicographically lowest id wins
+    assert got == {
+        "a": ("a", False),
+        "b": ("a", True),
+        "c": ("a", False),
+        "z": ("z", True),
+    }
+
+
 def test_pca_project_whiten_decorrelates(spark):
     from simplepolygon_spark.operators.stats import pca_fit, pca_project
 
