@@ -956,7 +956,7 @@ def _q_covariance_sql():
               FROM u a JOIN u b USING (vec_id)
               GROUP BY a.i, b.i)
         SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
-               round(exy - ma.mu * mb.mu, 6) AS cov
+               round(exy - ma.mu * mb.mu, 6) + 0.0 AS cov
         FROM p
         JOIN m ma ON ma.i = p.i
         JOIN m mb ON mb.i = p.j

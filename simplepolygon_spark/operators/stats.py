@@ -118,9 +118,12 @@ def covariance_df(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     rows = [(i, j, float(C[i, j])) for i in range(d) for j in range(d)]
     # round in Spark SQL (HALF_UP — the same mode DuckDB's round uses),
     # not Python round() (banker's half-even): across d² gated entries
-    # a half-boundary value would otherwise flip the hash
+    # a half-boundary value would otherwise flip the hash.  + 0.0
+    # flushes IEEE negative zero: a tiny negative covariance rounds to
+    # -0.0 in one engine and +0.0 in the other depending on summation
+    # order, and string-keyed hash compares treat them as different.
     return spark.createDataFrame(rows, "i int, j int, cov double").select(
-        "i", "j", F.round("cov", 6).alias("cov")
+        "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
     )
 
 
