@@ -758,11 +758,17 @@ def srp_signatures(
     seed (cheap: d × planes doubles) so every executor, batch, and run
     agrees without shipping state.
 
-    Mixed-dimension corpora are rejected loudly (per task, on the
-    second distinct dimension seen): signatures drawn from unrelated
+    Mixed-dimension corpora are rejected PER TASK (on the second
+    distinct dimension one task sees): signatures drawn from unrelated
     hyperplane sets share one 64-bit space and are incomparable —
     cross-dim bucket collisions would waste verify work and mask a
-    data-quality problem.  Split the corpus by dimension first."""
+    data-quality problem.  The guard is best-effort, not airtight: a
+    corpus whose dimensions are partition-aligned (each task sees a
+    single dim — e.g. a union of two single-dim tables) passes it and
+    still emits incomparable signatures.  When provenance doesn't
+    already guarantee one dimension, run ``assert_uniform_dims(emb)``
+    first (one cheap aggregate scan) or split the corpus by dimension
+    before signing."""
     if not (1 <= num_planes <= 64):
         raise ValueError(
             f"num_planes ({num_planes}) must be in [1, 64]: the signature "
@@ -812,6 +818,32 @@ def srp_signatures(
             )
 
     return emb.select(id_col, vec_col).mapInArrow(run, schema)
+
+
+def assert_uniform_dims(emb: DataFrame, vec_col: str = "embedding") -> int:
+    """Loudly verify every vector in the corpus shares ONE dimension and
+    return it — the global complement to ``srp_signatures``' per-task
+    guard, which a partition-aligned mixed-dim corpus slips past.  One
+    aggregate job over the list sizes (narrow: only the list offsets are
+    decoded, never the values); distinct sizes are at most a handful of
+    rows to the driver.  NULL vectors are rejected too — they would
+    later crash ``_emb_matrix`` with a less attributable error."""
+    rows = (
+        emb.select(F.size(F.col(vec_col)).alias("d")).distinct().collect()
+    )
+    dims = sorted({r.d for r in rows if r.d is not None})
+    if any(r.d is None for r in rows):
+        raise ValueError(
+            f"assert_uniform_dims: NULL {vec_col} in corpus — filter or "
+            "impute upstream"
+        )
+    if len(dims) != 1:
+        raise ValueError(
+            f"assert_uniform_dims: mixed embedding dimensions {dims}; "
+            "signatures across dimensions are incomparable — split the "
+            "corpus by dimension first"
+        )
+    return dims[0]
 
 
 def srp_bands_for_threshold(num_planes: int, threshold: float) -> int:

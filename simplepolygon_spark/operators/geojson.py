@@ -86,6 +86,16 @@ def decompose_geojson(
     Output JSON matches the reference's shape: a FeatureCollection of
     one-ring Polygons with properties {index?, parent, winding,
     netWinding} — ``index`` omitted on the fast path (Q3).
+
+    DUPLICATE-ID CONTRACT: ``id_col`` is treated as a key — output has
+    ONE row per distinct id.  The reference API has no notion of row
+    ids at all (one Feature per call, /root/reference/src/index.ts:39),
+    so duplicate ids are a caller-side aliasing decision this operator
+    resolves deterministically: N same-id rows with ``coordinates: []``
+    collapse to one empty-FeatureCollection row, and a same-id mix of
+    empty and real geometry keeps the real rings (the empty sentinel
+    drops).  Callers needing per-input-row outputs must supply unique
+    ids — exactly what a per-row uuid column gives for free.
     """
     parsed = parse_geojson_features(df, geojson_col, id_col)
     # decompose_polygons' kernel schema fixes the id column name to

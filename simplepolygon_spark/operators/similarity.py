@@ -303,12 +303,53 @@ def ivf_assign(corpus: DataFrame, centroids: np.ndarray) -> DataFrame:
     return corpus.select("vec_id", "embedding").mapInArrow(run, schema)
 
 
+# Measured recall anchors for ivf_topk (BENCH/IVF_RECALL.md: sf0.01
+# embeddings, 16 centroids, 32 queries, k=10): (probes/n_centroids,
+# recall@10).  The fraction-of-lists axis is what transfers across
+# centroid counts; the endpoint (1.0, 1.0) is exact by construction
+# (all lists probed == brute force), the rest are measured, not modeled.
+IVF_RECALL_ANCHORS = (
+    (1 / 16, 0.306),
+    (2 / 16, 0.412),
+    (4 / 16, 0.591),
+    (8 / 16, 0.794),
+    (1.0, 1.0),
+)
+
+
+def ivf_probes_for_recall(n_centroids: int, target_recall: float) -> int:
+    """Smallest probe count whose expected recall (linear interpolation
+    over the MEASURED ``IVF_RECALL_ANCHORS`` curve, by fraction of lists
+    probed) meets ``target_recall`` — the supported way to pick
+    ``ivf_topk``'s ``probes`` from a quality target instead of guessing.
+    Conservative below the first anchor (interpolates from (0, 0));
+    ``target_recall >= 1`` returns ``n_centroids`` (exact search).  The
+    curve was measured on one corpus (see BENCH/IVF_RECALL.md) — treat
+    the result as a starting point and re-measure on corpora with very
+    different cluster structure."""
+    if not (1 <= n_centroids):
+        raise ValueError(f"n_centroids ({n_centroids}) must be >= 1")
+    if target_recall >= 1.0:
+        return n_centroids
+    anchors = ((0.0, 0.0),) + IVF_RECALL_ANCHORS
+    for p in range(1, n_centroids + 1):
+        f = p / n_centroids
+        rec = 1.0
+        for (f0, r0), (f1, r1) in zip(anchors, anchors[1:]):
+            if f <= f1:
+                rec = r0 + (r1 - r0) * (f - f0) / (f1 - f0)
+                break
+        if rec >= target_recall:
+            return p
+    return n_centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries_np: dict[int, np.ndarray],
     centroids: np.ndarray,
     k: int = 5,
-    probes: int = 4,
+    probes: int | None = None,
     centroid_col: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k in ONE corpus pass: every query's probe
@@ -319,6 +360,15 @@ def ivf_topk(
     a single tiny window reduce yields the global top-k.  No join, no
     per-query plan branch (round-1 advice: the old form built Q filtered
     scans + a corpus↔assign shuffle).
+
+    ``probes`` is REQUIRED — there is no safe default: recall falls off
+    a cliff at low probe counts (measured, BENCH/IVF_RECALL.md: 0.31@1
+    probe, 0.59@4, 0.79@8, 1.00@16 of 16 centroids) and a silent
+    default would hand naive callers a 30%-recall search that looks
+    fine on planted-duplicate tests.  Pick it explicitly, or derive it
+    from a quality target with ``ivf_probes_for_recall(n_centroids,
+    target_recall)``; ``probes = n_centroids`` is exact (every list
+    searched).
 
     ``centroid_col``: name of a pre-assigned centroid id column (the
     at-rest layout ``ivf_assign`` + ``partitionBy(centroid_id)``
@@ -331,6 +381,19 @@ def ivf_topk(
     come from the SAME centroids (``ivf_assign``'s argmin, ties to the
     lowest id) or probe masks won't line up."""
     C = np.asarray(centroids, np.float64)
+    if probes is None:
+        raise ValueError(
+            "ivf_topk: probes is required — recall degrades steeply at "
+            "low probe counts (measured: 0.31 recall@10 at 1 of 16 "
+            "probes, 1.00 at 16; BENCH/IVF_RECALL.md).  Pass probes "
+            "explicitly, derive it with ivf_probes_for_recall("
+            f"n_centroids={len(C)}, target_recall), or use "
+            f"probes={len(C)} for exact search."
+        )
+    if not (1 <= probes <= len(C)):
+        raise ValueError(
+            f"ivf_topk: probes ({probes}) must be in [1, n_centroids={len(C)}]"
+        )
     qids = sorted(queries_np)
     Q = np.stack([np.asarray(queries_np[q], np.float64) for q in qids])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

@@ -176,7 +176,11 @@ def pca_project(
         # silent all-NaN projections
         ev = np.maximum(np.asarray(model["eigvals"], np.float64), 0.0)
         comps = comps / np.sqrt(ev + eps)[:, None]
-    schema = f"{id_col} long, projected array<double>"
+    # the id column passes through the kernel untouched, so its output
+    # type is its INPUT type — hardcoding long broke string/int32 ids
+    # with an Arrow schema mismatch at runtime (round-4 advice)
+    id_type = emb.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, projected array<double>"
 
     def run(batches):
         for batch in batches:
