@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 _MERSENNE = (1 << 61) - 1
@@ -179,19 +179,39 @@ def _batch_minhash(
 
 
 def minhash_doc_sigs(
-    docs: DataFrame, num_hashes: int = 64, k: int = 5, seed: int = 7
+    docs: DataFrame,
+    num_hashes: int = 64,
+    k: int = 5,
+    seed: int = 7,
+    carry_col: str | None = None,
 ) -> DataFrame:
-    """(doc_id, sig array<long>) — MinHash signature per doc in one
-    Arrow pass, whole-batch vectorized (``_batch_minhash``).  The
-    signature (num_hashes longs) is the ONLY payload carried into the
-    LSH join graph; the full hashed-shingle set is deliberately not
+    """(doc_id, sig array<long>[, carry_col]) — MinHash signature per
+    doc in one Arrow pass, whole-batch vectorized (``_batch_minhash``).
+    The signature (num_hashes longs) is the ONLY payload carried into
+    the LSH join graph; the full hashed-shingle set is deliberately not
     emitted — at 100 TB it is O(text length) per row and shipping it
     through the candidate joins re-shuffles a constant factor of the
-    corpus (round-1 bench: 60% of suite wall time)."""
+    corpus (round-1 bench: 60% of suite wall time).
+
+    ``carry_col`` rides the kernel untouched (same Arrow column in,
+    same column out, input dtype preserved) — attaching a blocking key
+    HERE costs nothing, where attaching it post hoc costs a second
+    corpus scan plus a doc_id join (round-4 advice on
+    ngram_jaccard_lsh's constant factor)."""
     rng = np.random.default_rng(seed)
     A = rng.integers(1, _MERSENNE, num_hashes, dtype=np.uint64)
     B = rng.integers(0, _MERSENNE, num_hashes, dtype=np.uint64)
     schema = "doc_id long, sig array<long>"
+    in_cols = ["doc_id", "text"]
+    if carry_col is not None:
+        if carry_col in ("doc_id", "sig"):
+            raise ValueError(
+                f"minhash_doc_sigs: carry_col ({carry_col}) collides with "
+                "an output column"
+            )
+        carry_type = docs.schema[carry_col].dataType.simpleString()
+        schema += f", {carry_col} {carry_type}"
+        in_cols.append(carry_col)
 
     def run(batches):
         for batch in batches:
@@ -201,20 +221,22 @@ def minhash_doc_sigs(
                 continue
             sig = _batch_minhash(texts, A, B, k)  # num_hashes × n_docs
             sig_rows = sig.T.astype(np.int64)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(ids.astype(np.int64), pa.int64()),
-                    pa.array(list(sig_rows), pa.list_(pa.int64())),
-                ],
-                names=["doc_id", "sig"],
-            )
+            arrays = [
+                pa.array(ids.astype(np.int64), pa.int64()),
+                pa.array(list(sig_rows), pa.list_(pa.int64())),
+            ]
+            names = ["doc_id", "sig"]
+            if carry_col is not None:
+                arrays.append(batch.column(carry_col))
+                names.append(carry_col)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     # NULL text has no signature: exclude it SQL-side (the vectorized
     # kernel would crash on None) — NULL-text rows simply never join
     # the dedup candidate graph, consistent with the anti-join NULL
     # contract in sampling.decontaminate
     return (
-        docs.select("doc_id", "text")
+        docs.select(*in_cols)
         .where(F.col("text").isNotNull())
         .mapInArrow(run, schema)
     )
@@ -354,18 +376,22 @@ def minhash_dup_pairs(
             f"bands ({bands}) must divide num_hashes ({num_hashes}): a "
             "remainder would silently drop the trailing hashes from the banding"
         )
-    sigs = minhash_doc_sigs(docs, num_hashes, k)
     carry: tuple = ()
     join_keys = ["band", "band_hash"]
     if block_col is not None:
-        # attach the block BEFORE the band explode (one narrow
-        # doc_id-join of id+block rows, not bands× melted rows); the
-        # block then rides the bucket key so only same-block docs
-        # become candidates
-        blocks = docs.select("doc_id", F.col(block_col).alias("_blk"))
-        sigs = sigs.join(blocks, "doc_id")
+        # the block key rides the signature Arrow kernel as a
+        # passthrough column (zero extra work in the pass) and then the
+        # bucket key, so only same-block docs become candidates — the
+        # old shape re-scanned docs for an (id, block) projection and
+        # joined it back, a whole extra scan + join per call (round-4
+        # advice).  Renamed to _blk so a block column named e.g. "band"
+        # can't collide with the melt's own columns.
+        sigs = minhash_doc_sigs(docs, num_hashes, k, carry_col=block_col)
+        sigs = sigs.withColumnRenamed(block_col, "_blk")
         carry = ("_blk",)
         join_keys = ["band", "band_hash", "_blk"]
+    else:
+        sigs = minhash_doc_sigs(docs, num_hashes, k)
     sigs = sigs.persist()
     bk = _band_buckets_from_sigs(sigs, bands, num_hashes // bands, carry=carry)
     a, b = bk.alias("a"), bk.alias("b")
@@ -1027,27 +1053,36 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         jumped = labels.join(
             hop, labels.label == hop.lbl_node, "left"
         ).select("node", "label", F.coalesce("lbl2", "label").alias("lbl2"))
+        # ONE action per round: the changed-count rides the checkpoint
+        # job as an observed metric (the new label is least(old, ...),
+        # so "changed" is computable inline — no join against the old
+        # label map, no second limit(1).count() job; round-4 advice).
+        # Verified: eager localCheckpoint executes the CollectMetrics
+        # node and delivers the Observation, so obs.get cannot block.
+        obs = Observation()
         new_labels = (
             jumped.join(nbr, jumped.node == nbr.a, "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"),
                     F.col("lbl2"),
                     F.coalesce(F.col("nbr_min"), F.col("label")),
                 ).alias("label"),
             )
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("_old")).cast("long")).alias(
+                    "n_changed"
+                ),
+            )
+            .select("node", "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        # the changed-check was the old round's last reader — free its
-        # blocks before rebinding so storage never exceeds one round
+        changed = int(obs.get["n_changed"] or 0)
+        # the old round has no readers left — free its blocks before
+        # rebinding so storage never exceeds one round
         _release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
