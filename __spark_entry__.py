@@ -596,6 +596,51 @@ def _q_decontaminate_sql():
     """
 
 
+def q_decontaminate_ngram(spark, sf_dir):
+    """N-gram-overlap decontamination (VERDICT r4 #2): the benchmark is
+    a MID-DOCUMENT token span (tokens 10..40) of every 50th doc, so its
+    whole-text fingerprint matches nothing — exact-mode decontaminate
+    keeps everything, while the 13-gram rule drops the span's source
+    doc (and its planted exact duplicates), the embedded-contamination
+    case a real pipeline needs."""
+    from simplepolygon_spark.operators.sampling import decontaminate_ngrams
+
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    bench = d.where((F.col("doc_id") % 50 == 0) & F.col("text").isNotNull()).select(
+        F.concat_ws(" ", F.slice(toks, 10, 31)).alias("text")
+    )
+    return decontaminate_ngrams(d, bench, n=13).select("doc_id").orderBy("doc_id")
+
+
+def _q_decontaminate_ngram_sql():
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower({src}), '[^a-z0-9 ]', '', 'g'),"
+        " ' +', ' ', 'g'))"
+    )
+    grams = (
+        "list_transform(range(1, len(t) - 11), "
+        "i -> array_to_string(t[i:i+12], ' '))"
+    )
+    return f"""
+        WITH braw AS (
+          SELECT array_to_string(regexp_split_to_array(trim(text), '\\s+')[10:40], ' ') AS btext
+          FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL
+        ),
+        bt AS (SELECT string_split({norm.format(src='btext')}, ' ') AS t FROM braw
+               WHERE {norm.format(src='btext')} <> ''),
+        bg AS (SELECT DISTINCT unnest({grams}) AS g FROM bt WHERE len(t) >= 13),
+        tt AS (SELECT doc_id, string_split({norm.format(src='text')}, ' ') AS t
+               FROM documents WHERE text IS NOT NULL
+                 AND {norm.format(src='text')} <> ''),
+        tg AS (SELECT doc_id, unnest({grams}) AS g FROM tt WHERE len(t) >= 13)
+        SELECT d.doc_id FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM tg JOIN bg USING (g)
+                          WHERE tg.doc_id = d.doc_id)
+        ORDER BY doc_id
+    """
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from simplepolygon_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1396,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pack_sequences_sharded": q_pack_sequences_sharded,
         "decontaminate": q_decontaminate,
+        "decontaminate_ngram": q_decontaminate_ngram,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "cosine_topk": q_cosine_topk,
@@ -1436,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _q_pack_sequences_sql(),
         "pack_sequences_sharded": _q_pack_sequences_sharded_sql(),
         "decontaminate": _q_decontaminate_sql(),
+        "decontaminate_ngram": _q_decontaminate_ngram_sql(),
         "embedding_dups": _q_embedding_dups_sql(),
         "embedding_dups_lsh": _q_embedding_dups_lsh_sql(),
         "cosine_topk": _q_cosine_topk_sql(),

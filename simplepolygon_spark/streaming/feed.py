@@ -18,6 +18,9 @@ give the streaming path:
                          same store architecture, exact-Jaccard verify
   decontaminate_feed   — drop benchmark-overlapping docs as they arrive
                          (stateless stream-static broadcast anti-join)
+  decontaminate_feed_ngrams — drop docs sharing any normalized word
+                         n-gram with the benchmark (stateless
+                         stream-static arrays_overlap anti-join)
   start_assign_with_lineage — the full ingest→assign→commit sink:
                          foreachBatch writes each micro-batch through
                          the lineage log (exactly-once across replays;
@@ -351,6 +354,45 @@ def decontaminate_feed(doc_feed: DataFrame, benchmark: DataFrame) -> DataFrame:
     from ..operators.sampling import decontaminate
 
     return decontaminate(doc_feed, benchmark)
+
+
+def decontaminate_feed_ngrams(
+    doc_feed: DataFrame, benchmark: DataFrame, n: int = 13
+) -> DataFrame:
+    """Stream-side n-gram-overlap decontamination: drop arriving docs
+    sharing ANY normalized word ``n``-gram with the static benchmark
+    set — the in-stream twin of ``operators.sampling
+    .decontaminate_ngrams``, same gram definition
+    (``norm_word_ngrams`` — one source of truth, so stream and batch
+    match sets can never diverge).
+
+    The batch operator's explode → semi-join → doc-level distinct →
+    anti-join needs a streaming self-join (unsupported), so the
+    stream-safe shape is ONE stateless stream-static left_anti join on
+    an ``arrays_overlap`` condition: each arriving doc's gram array is
+    tested against each benchmark row's gram array (broadcast
+    nested-loop anti join).  Per-batch cost is O(|batch| × |benchmark|)
+    overlap tests — fine for benchmark sets (small by definition); the
+    batch operator keeps the hash-join shape for corpus-scale re-runs.
+    NULL-text docs and docs shorter than ``n`` normalized tokens
+    survive, matching the batch contract (tested stream ≡ batch on the
+    landed table, including a planted mid-document contamination)."""
+    from ..operators.sampling import norm_word_ngrams
+
+    tg = "__decon_tg"
+    if tg in doc_feed.columns:
+        raise ValueError(f"decontaminate_feed_ngrams: input already has column {tg}")
+    bench_g = (
+        benchmark.select(norm_word_ngrams("text", n).alias("__bg"))
+        .where(F.size("__bg") > 0)
+        .distinct()
+    )
+    s = doc_feed.withColumn(tg, norm_word_ngrams("text", n))
+    return s.join(
+        F.broadcast(bench_g),
+        F.arrays_overlap(F.col(tg), F.col("__bg")),
+        "left_anti",
+    ).drop(tg)
 
 
 def _with_minhash_sigs(
