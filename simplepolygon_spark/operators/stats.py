@@ -128,17 +128,20 @@ def covariance_df(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def pca_fit(
-    emb: DataFrame, k: int, vec_col: str = "embedding"
+    emb: DataFrame, k: int | None, vec_col: str = "embedding"
 ) -> dict:
     """Fit a PCA/whitening model on the cluster: distributed moment
     accumulation (one scan), driver-side eigendecomposition of the d×d
     covariance.  Returns {mean (d), components (k×d), eigvals (k)} —
     components are the top-k eigenvectors, sign-canonicalized (largest-
     |coordinate| entry positive) so results are partitioning- and
-    library-stable."""
+    library-stable.  ``k=None`` keeps every component (a pure rotation
+    — the whitening-without-reduction case)."""
     n, s, ss = moment_sums(emb, vec_col)
     mean = s / n
     C = ss / n - np.outer(mean, mean)
+    if k is None:
+        k = C.shape[0]
     if not (1 <= k <= C.shape[0]):
         raise ValueError(f"pca_fit: k ({k}) must be in [1, d={C.shape[0]}]")
     w, V = np.linalg.eigh(C)  # ascending eigenvalues
