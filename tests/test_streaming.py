@@ -275,7 +275,8 @@ def test_minhash_dedup_batch_replay_and_candidate_log(spark, tmp_path, capsys):
     minhash_dedup_batch(sigs, 0, out, state, threshold=0.95)  # replay
     again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert first == again
-    assert spark.read.parquet(state).count() == 13
+    # round-5 store layout: one row per doc in the text side table
+    assert spark.read.parquet(state + "/docs").count() == 13
 
 
 def test_decontaminate_feed_stream_equals_batch(spark, tmp_path):
@@ -339,8 +340,10 @@ def test_banded_dedup_batch_replay_is_idempotent(spark, tmp_path):
     banded_dedup_batch(sigs, 0, out, state, max_hamming=3)  # replay
     again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert first == again
-    n_state = spark.read.parquet(state).count()
-    assert n_state == 21
+    # round-5 store layout: melted band rows — one row per (doc, band)
+    st = spark.read.parquet(state + "/sigs")
+    assert st.select("doc_id").distinct().count() == 21
+    assert st.count() == 21 * 4
 
 
 def test_banded_dedup_late_arrival_not_suppressed_by_later_doc(spark, tmp_path):
@@ -403,8 +406,10 @@ def test_banded_dedup_new_stream_sees_old_streams_state(spark, tmp_path):
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == [1], "old stream's output clobbered or its state skipped"
     # state keeps both streams' signatures under distinct partitions
-    st = spark.read.parquet(state)
-    assert sorted(r.doc_id for r in st.collect()) == [1, 2]
+    st = spark.read.parquet(state + "/sigs")
+    assert sorted(
+        r.doc_id for r in st.select("doc_id").distinct().collect()
+    ) == [1, 2]
     assert st.select("_stream_batch").distinct().count() == 2
 
 
