@@ -86,12 +86,16 @@ spark.stop()
 
 
 class Level:
-    """A live measurement subprocess; idle (JVM parked) between runs."""
+    """A live measurement subprocess; idle (JVM parked) between runs.
 
-    def __init__(self, cpus: int, n_images: int):
+    ``child_src`` lets sibling harnesses (scaling_bench_shuffle.py)
+    reuse the whole measurement protocol with a different workload —
+    the protocol, not the job, is what round 4 hardened."""
+
+    def __init__(self, cpus: int, n_images: int, child_src: str = None):
         env = dict(os.environ, PYTHONPATH=REPO)
         self.proc = subprocess.Popen(
-            [sys.executable, "-c", CHILD, str(cpus), str(n_images)],
+            [sys.executable, "-c", child_src or CHILD, str(cpus), str(n_images)],
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
