@@ -29,9 +29,7 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from scaling_bench import REPO, Level, one_run  # noqa: E402
@@ -180,8 +178,15 @@ it away (raw per-pair data incl. discards:
     with open(baseline) as f:
         text = f.read()
     if BEGIN in text:
+        if END not in text:
+            # a half-written marker pair must not silently truncate the
+            # rest of BASELINE.md below BEGIN
+            raise RuntimeError(
+                "BENCH/BASELINE.md has the SHUFFLE-SECTION BEGIN marker "
+                "but no END marker — repair the file before rewriting"
+            )
         pre = text.split(BEGIN)[0]
-        post = text.split(END, 1)[1] if END in text else ""
+        post = text.split(END, 1)[1]
         text = pre + section + post
     else:
         marker = "## Reference comparison"

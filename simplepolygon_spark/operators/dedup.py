@@ -204,10 +204,13 @@ def minhash_doc_sigs(
     schema = "doc_id long, sig array<long>"
     in_cols = ["doc_id", "text"]
     if carry_col is not None:
-        if carry_col in ("doc_id", "sig"):
+        if carry_col in ("doc_id", "sig", "text"):
+            # doc_id/sig collide with output columns; text would put a
+            # duplicate field in the Arrow batch schema and crash the
+            # kernel's by-name column lookup deep in an executor task
             raise ValueError(
                 f"minhash_doc_sigs: carry_col ({carry_col}) collides with "
-                "an output column"
+                "a kernel column"
             )
         carry_type = docs.schema[carry_col].dataType.simpleString()
         schema += f", {carry_col} {carry_type}"
@@ -854,15 +857,29 @@ def assert_uniform_dims(emb: DataFrame, vec_col: str = "embedding") -> int:
     decoded, never the values); distinct sizes are at most a handful of
     rows to the driver.  NULL vectors are rejected too — they would
     later crash ``_emb_matrix`` with a less attributable error."""
-    rows = (
-        emb.select(F.size(F.col(vec_col)).alias("d")).distinct().collect()
-    )
-    dims = sorted({r.d for r in rows if r.d is not None})
-    if any(r.d is None for r in rows):
-        raise ValueError(
-            f"assert_uniform_dims: NULL {vec_col} in corpus — filter or "
-            "impute upstream"
+    # NULLs are counted EXPLICITLY (isNull), not inferred from
+    # size(NULL): that returns NULL only under ANSI semantics — on a
+    # legacy-config session size(NULL) is -1 and an inference-based
+    # guard silently reports dimension -1 instead of raising
+    row = (
+        emb.select(
+            F.col(vec_col).isNull().alias("_isnull"),
+            F.size(F.col(vec_col)).alias("_d"),
         )
+        .agg(
+            F.sum(F.col("_isnull").cast("long")).alias("n_null"),
+            F.collect_set(F.when(~F.col("_isnull"), F.col("_d"))).alias("dims"),
+        )
+        .first()
+    )
+    if row.n_null:
+        raise ValueError(
+            f"assert_uniform_dims: {row.n_null} NULL {vec_col} row(s) in "
+            "corpus — filter or impute upstream"
+        )
+    dims = sorted(row.dims)
+    if not dims:
+        raise ValueError("assert_uniform_dims: empty corpus")
     if len(dims) != 1:
         raise ValueError(
             f"assert_uniform_dims: mixed embedding dimensions {dims}; "

@@ -502,8 +502,13 @@ def decontaminate_feed_ngrams(
     from ..operators.sampling import norm_word_ngrams
 
     tg = "__decon_tg"
-    if tg in doc_feed.columns:
-        raise ValueError(f"decontaminate_feed_ngrams: input already has column {tg}")
+    for reserved in (tg, "__bg"):
+        if reserved in doc_feed.columns:
+            raise ValueError(
+                f"decontaminate_feed_ngrams: input already has column "
+                f"{reserved} (reserved internal name — the join condition "
+                "would become ambiguous)"
+            )
     bench_g = (
         benchmark.select(norm_word_ngrams("text", n).alias("__bg"))
         .where(F.size("__bg") > 0)
@@ -832,22 +837,33 @@ def _update_keepers(spark, pairs_dir: str, keepers_dir: str) -> None:
     count; a caller who needs scores attaches them by joining the
     landed table and re-running the same aggregate.  Docs absent from
     the keeper table are singletons: implicitly keep=true."""
+    import shutil
+
     from ..operators.dedup import canonicalize_duplicates
 
     pairs = _read_parquet_if_exists(spark, pairs_dir, _PAIRS_STORE_SCHEMA)
     if pairs is None or pairs.limit(1).count() == 0:
-        spark.createDataFrame([], "doc_id long, cluster_id long, keep boolean") \
-            .write.mode("overwrite").parquet(keepers_dir)
-        return
-    edges = pairs.select("doc_a", "doc_b")
-    nodes = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .union(edges.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    canonicalize_duplicates(nodes, edges).write.mode("overwrite").parquet(
-        keepers_dir
-    )
+        out = spark.createDataFrame([], "doc_id long, cluster_id long, keep boolean")
+    else:
+        edges = pairs.select("doc_a", "doc_b")
+        nodes = (
+            edges.select(F.col("doc_a").alias("doc_id"))
+            .union(edges.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        out = canonicalize_duplicates(nodes, edges)
+    # publish via staging + rename swap: a plain overwrite deletes the
+    # live table for the whole recompute, and this table exists to be
+    # READ while the stream runs — the swap shrinks the unreadable
+    # window to two renames (the compactor's pattern)
+    tmp = keepers_dir + ".__staging"
+    out.write.mode("overwrite").parquet(tmp)
+    bak = keepers_dir + ".__old"
+    if os.path.isdir(keepers_dir):
+        os.rename(keepers_dir, bak)
+    os.rename(tmp, keepers_dir)
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
 
 
 def start_minhash_near_dedup(
