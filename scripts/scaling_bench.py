@@ -152,9 +152,22 @@ def one_run(
     # exceed 2/3; SCALE_MAX_ATTEMPTS_MULT buys more attempts so a run
     # reaches its full clean-pair quota instead of failing on count
     max_attempts = n_pairs * int(os.environ.get("SCALE_MAX_ATTEMPTS_MULT", "3"))
+    # SCALE_PAIR_WARM=1: one UNTIMED rep per level at the start of each
+    # pair (timeit-style).  Added for the shuffle workload, where the
+    # hi level showed a reproducible ~25-30% first-rep penalty after
+    # idling through the lo level's longer runs (JIT/page-cache/worker
+    # respawn — visible as monotone t12_reps in the preserved aborted
+    # attempt, BENCH/scaling_shuffle_attempt1.log): the spread filter
+    # discarded such pairs forever, mistaking warm-up for steal.  The
+    # warm rep is a disclosed protocol knob, off by default so the
+    # compute-bound table's conditions stay exactly round-4's.
+    pair_warm = int(os.environ.get("SCALE_PAIR_WARM", "0"))
     st0, w0 = steal_seconds(), time.monotonic()
     while len(clean) < n_pairs and attempts < max_attempts:
         attempts += 1
+        for _ in range(pair_warm):
+            lo.run_once()
+            hi.run_once()
         la, lb = [], []
         for _ in range(n_reps):
             la.append(round(lo.run_once(), 3))

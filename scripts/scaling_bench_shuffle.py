@@ -151,7 +151,13 @@ def main() -> None:
 Same hardened protocol as the compute-bound table above (paired
 interleaved, min of {n_reps} repeats per level per pair, pairs with
 within-level spread > {spread_bound:.0%} discarded and disclosed,
-{n_runs} consecutive runs, /proc/stat steal sampled per run), applied
+{n_runs} consecutive runs, /proc/stat steal sampled per run) plus ONE
+disclosed knob: an untimed warm rep per level at the start of each
+pair (timeit-style), because a first session — aborted, raw log
+preserved at `BENCH/scaling_shuffle_attempt1.log` — showed a
+reproducible ~25-30% hi-level FIRST-rep penalty after idling through
+the lo level's longer runs (monotone t12_reps, near-zero t3 spread)
+that the spread filter kept discarding as "steal".  Applied
 to the SHUFFLE-SHAPED job the 100 TB dedup suite actually runs:
 `minhash_dup_pairs(threshold=0.8)` over the sf0.1 documents table
 replicated {replicas}x with per-replica suffixes ({replicas * 5000:,}

@@ -141,6 +141,20 @@ The reference (simplepolygon v2.0.4) publishes no benchmark numbers
 section).  Decomposition parity is gated by the fixture suite; engine
 operator timings land in `BENCH_r*.json` via `bench.py`.
 """
+    # preserve the shuffle-workload section (owned by
+    # scaling_bench_shuffle.py) across full rewrites — without this a
+    # report rerun would silently delete the round-5 second table
+    BEGIN = "<!-- SHUFFLE-SECTION BEGIN -->"
+    END = "<!-- SHUFFLE-SECTION END -->"
+    if os.path.exists(OUT):
+        old = open(OUT).read()
+        if BEGIN in old and END in old:
+            shuffle_section = BEGIN + old.split(BEGIN, 1)[1].split(END, 1)[0] + END
+            md = md.replace(
+                "## Reference comparison",
+                shuffle_section + "\n\n## Reference comparison",
+                1,
+            )
     with open(OUT, "w") as f:
         f.write(md)
     print(
