@@ -1414,6 +1414,82 @@ def _q_fused_sql():
     """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events table (12 h gap): one
+    window shuffle on user_id computes per-event session sequence
+    numbers, then the session aggregate reuses that hash(user)
+    partitioning — no second exchange (operators/temporal.py).  All
+    output columns are exact integers (epoch micros, counts, value
+    micros), so the cross-engine hash compare is bit-exact by
+    construction."""
+    from simplepolygon_spark.operators.temporal import session_stats
+
+    ev = _read(spark, sf_dir, "events")
+    return session_stats(ev, gap="12 hours")
+
+
+def _q_sessionize_sql():
+    gus = 12 * 3600 * 1_000_000
+    return f"""
+        WITH o AS (
+          SELECT user_id, event_id, ts, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+          FROM events),
+        f AS (
+          SELECT user_id, ts, value,
+                 sum(CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) >= {gus}
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+          FROM o)
+        SELECT user_id, session_seq,
+               epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts)) AS session_end_us,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+                 AS sum_value_u
+        FROM f GROUP BY user_id, session_seq
+    """
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of attribution: each purchase event joined to the latest
+    click at-or-before it by the same user.  The engine has no native
+    as-of join (Spark doesn't either); operators/temporal.asof_join
+    composes it as union + running-last-ignorenulls over one window —
+    one shuffle on the key, linear in |events|, no per-key cross
+    product.  The oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` — two
+    entirely different executions of the same semantics."""
+    from simplepolygon_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    pur = ev.where(F.col("event_type") == "purchase")
+    clk = ev.where(F.col("event_type") == "click")
+    out = asof_join(pur, clk, right_cols=("event_id", "ts"))
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("asof_event_id").alias("click_id"),
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("click_ts_us"),
+    )
+
+
+def _q_asof_join_sql():
+    return """
+        SELECT l.event_id AS purchase_id, l.user_id,
+               epoch_us(l.ts) AS ts_us,
+               r.event_id AS click_id,
+               epoch_us(r.ts) AS click_ts_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "decompose_rings": q_decompose_rings,
@@ -1453,6 +1529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_arrow": q_knn_arrow,
         "ivf_topk": q_ivf_topk,
         "fused_validate_assign": q_fused_validate_assign,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1495,4 +1573,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_arrow": _q_knn_sql(),
         "ivf_topk": _q_ivf_sql(),
         "fused_validate_assign": _q_fused_sql(),
+        "sessionize": _q_sessionize_sql(),
+        "asof_join": _q_asof_join_sql(),
     }

@@ -11,6 +11,10 @@ give the streaming path:
   stream_tile_assign   — PIP tile assignment on the stream: the same
                          broadcast interval index + Arrow batch kernel as
                          the batch path (stateless per row, stream-safe)
+  sessionize_feed      — gap-based sessionization via the native
+                         session_window stateful aggregation (the
+                         in-stream twin of operators.temporal
+                         .session_stats; equivalence tested)
   start_banded_near_dedup — in-stream SimHash/Hamming near-dedup
                          (foreachBatch over a parquet signature store)
   start_minhash_near_dedup — in-stream MinHash/Jaccard near-dedup:
@@ -199,6 +203,53 @@ def stream_tile_assign(feed: DataFrame, index_bc) -> DataFrame:
     from ..operators.tiling import pip_join
 
     return pip_join(feed, index_bc)
+
+
+def sessionize_feed(
+    event_feed: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming gap-based sessionization: one row per closed session —
+    the in-stream twin of ``operators.temporal.session_stats``, via
+    Structured Streaming's native ``session_window`` (gap-merging
+    stateful aggregation; a session closes, and emits, once the
+    watermark passes its last event + gap).
+
+    Output: (user, session_start_us, session_end_us, n_events,
+    sum_value_u) with the same exact-integer encodings as the batch
+    operator.  ``session_window``'s window END is ``last event + gap``
+    (half-open), so ``session_end_us`` here is the batch operator's
+    ``session_end_us + gap`` — the boundary convention is shared (a
+    follow-up exactly ``gap`` later opens a NEW session in both paths;
+    equivalence on the landed table is pinned by
+    test_sessionize_stream_equals_batch).  No session_seq column: a
+    stream emits sessions as they close, and a per-user ordinal would
+    require total per-user history — derive it downstream by ranking
+    ``session_start_us`` when needed."""
+    vu = F.round(F.col(value_col) * 1e6, 0).cast("long")
+    return (
+        event_feed.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap).alias("_w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(vu).alias("sum_value_u"),
+        )
+        .select(
+            user_col,
+            F.unix_micros(F.col("_w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("_w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value_u",
+        )
+    )
 
 
 def dedupe_near_feed(doc_feed: DataFrame, watermark: str = "10 minutes") -> DataFrame:
