@@ -1490,6 +1490,61 @@ def _q_asof_join_sql():
     """
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Sparse cosine top-k over tf-idf postings via the inverted-index
+    self-join (operators/tfidf.py): documents meet only on SHARED
+    terms — each term contributes df² candidate rows — instead of as
+    dense |V|-dim vectors.  Cosine is rounded before ranking and ties
+    break on doc_b, so the emitted top-3 set is deterministic across
+    engines."""
+    from simplepolygon_spark.operators.tfidf import tfidf_topk_similar
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_topk_similar(docs, k=3)
+
+
+def _q_tfidf_topk_sql():
+    return r"""
+        WITH toks AS (
+          SELECT doc_id, t.term
+          FROM documents,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+          WHERE text IS NOT NULL AND t.term <> ''
+        ),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+               FROM toks GROUP BY 1, 2),
+        dft AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                FROM toks GROUP BY 1),
+        w AS (
+          SELECT tf.doc_id, tf.term,
+                 tf.tf * (ln((1 + (SELECT n FROM n)) / (1 + dft.df)) + 1) AS w
+          FROM tf JOIN dft USING (term)
+        ),
+        wn AS (
+          SELECT doc_id, term,
+                 w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS w
+          FROM w
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(sum(a.w * b.w), 6) AS cosine
+          FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        bi AS (
+          SELECT doc_a, doc_b, cosine FROM pairs
+          UNION ALL
+          SELECT doc_b AS doc_a, doc_a AS doc_b, cosine FROM pairs
+        )
+        SELECT doc_a, doc_b, cosine,
+               row_number() OVER (PARTITION BY doc_a
+                                  ORDER BY cosine DESC, doc_b) AS rank
+        FROM bi
+        QUALIFY rank <= 3
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "decompose_rings": q_decompose_rings,
@@ -1531,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fused_validate_assign": q_fused_validate_assign,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "tfidf_topk": q_tfidf_topk,
     }
 
 
@@ -1575,4 +1631,5 @@ def oracle_sql() -> dict[str, str]:
         "fused_validate_assign": _q_fused_sql(),
         "sessionize": _q_sessionize_sql(),
         "asof_join": _q_asof_join_sql(),
+        "tfidf_topk": _q_tfidf_topk_sql(),
     }

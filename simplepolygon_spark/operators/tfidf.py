@@ -1,0 +1,143 @@
+"""TF-IDF vectors and sparse cosine similarity via an inverted-index
+join — the SPARSE counterpart of the dense-embedding similarity family
+(``operators/similarity.py`` brute-force/IVF, ``operators/dedup.py``
+SRP LSH).
+
+The scale shape: documents never meet as dense vectors.  A document is
+a handful of (term, weight) postings; cosine between two docs is the
+sum of weight products over their SHARED terms only, so the pair
+search is an equi-join of the postings list with itself on ``term`` —
+each term contributes df² candidate rows and a term nobody shares
+contributes nothing.  That inverted-index join is how sparse
+similarity actually runs at 100 TB (and how search engines have run it
+forever); a dense formulation would materialize |V|-dim vectors and
+all-pairs dot products.
+
+The known hazard is hot posting lists: a term appearing in every doc
+contributes |docs|² join rows.  ``max_df_frac`` prunes terms with
+df > frac·N from the VOCABULARY (weights and norms recomputed over the
+pruned vocabulary — standard stopword/boilerplate pruning, not a
+silent result cap); at web scale one always sets it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) rows: lower → trim → split on whitespace runs.  NULL
+    texts yield no rows; empty-string terms (leading/trailing
+    whitespace artifacts — Spark's split keeps trailing empties) are
+    filtered explicitly so both engines tokenize identically."""
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+
+
+def tfidf_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """(id, term, w): L2-normalized smooth tf-idf postings —
+    ``w = tf · (ln((1+N)/(1+df)) + 1)``, scaled so each doc's weight
+    vector has unit L2 norm (the sklearn smooth-idf convention; cosine
+    between docs is then a plain dot product).  N counts ALL input
+    rows, tokenless docs included.
+
+    Plan: the token explode feeds BOTH aggregates.  ``repartition(id)``
+    first, so the (id, term) tf groupBy AND the per-doc norm window are
+    satisfied by ONE hash(id) exchange (a hash partitioning on a subset
+    of the grouping keys already clusters the groups — Catalyst inserts
+    no second exchange for either).  The per-term df aggregate is the
+    one additional shuffle, and its output is vocabulary-sized — tiny —
+    so the idf join broadcasts at runtime via AQE.
+
+    ``max_df_frac`` drops terms with df > frac·N before weighting:
+    vocabulary pruning, reflected in the norms."""
+    n_docs = docs.count()  # one scalar to the driver, scale-safe
+    toks = _tokens(docs, id_col, text_col)
+    tf = (
+        toks.repartition(F.col(id_col))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dft = toks.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("df")
+    )
+    if max_df_frac is not None:
+        dft = dft.where(F.col("df") <= max_df_frac * n_docs)
+    idf = F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0
+    w = tf.join(dft, "term").select(
+        id_col, "term", (F.col("tf") * idf).alias("w")
+    )
+    norm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy(id_col)))
+    return w.select(id_col, "term", (F.col("w") / norm).alias("w"))
+
+
+def tfidf_topk_similar(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, cosine, rank): each doc's k most cosine-similar
+    neighbors under the tf-idf vectors, via the inverted-index
+    self-join.
+
+    Candidate pairs are generated CANONICALLY (doc_a < doc_b) — half
+    the join and aggregation volume — then mirrored before ranking so
+    every doc ranks its full neighbor set.  The postings frame feeds
+    both join sides, so it is eagerly localCheckpointed: the weights
+    pipeline runs ONCE (measured: without it, Spark re-evaluates the
+    whole tokenize→tf→idf→norm chain per side — AQE does not reuse
+    the aliased exchanges).  NOTE this runs the postings jobs at call
+    time, like the other checkpointing dedup operators.  At 100 TB the
+    same move is a materialized postings TABLE bucketed by term (a
+    search index); pass ``docs`` through ``tfidf_weights`` + a bucketed
+    write and join from there instead.  Cosine is rounded to 6 places
+    BEFORE ranking and ties break on doc_b, so the rank — and the
+    emitted top-k set — is deterministic and engine-independent (an
+    unrounded sort key would rank on last-ulp summation-order noise).
+    Docs with no tokens (or no shared term with any other doc) emit no
+    rows."""
+    wn = tfidf_weights(docs, id_col, text_col, max_df_frac).localCheckpoint(
+        eager=True
+    )
+    a = wn.select(
+        F.col(id_col).alias("doc_a"), F.col("term"), F.col("w").alias("w_a")
+    )
+    b = wn.select(
+        F.col(id_col).alias("doc_b"), F.col("term"), F.col("w").alias("w_b")
+    )
+    pairs = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.sum(F.col("w_a") * F.col("w_b")), 6).alias("cosine"))
+        # consumed by BOTH union branches (canonical + mirror): without
+        # the checkpoint the postings join and pair aggregate run twice
+        .localCheckpoint(eager=True)
+    )
+    bi = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "cosine",
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_a").orderBy(F.col("cosine").desc(), "doc_b")
+    )
+    return bi.withColumn("rank", rk).where(F.col("rank") <= k)
