@@ -765,6 +765,22 @@ def embedding_dup_pairs(
     ).where(F.col("cosine") >= threshold)
 
 
+def _srp_plane_matrix(d: int, num_planes: int, seed: int) -> np.ndarray:
+    """The (d × planes) N(0,1) hyperplane matrix, regenerated from the
+    seed wherever needed (executors, stream batches) — one definition
+    so batch and stream signatures can never diverge."""
+    return np.random.default_rng(seed).standard_normal((d, num_planes))
+
+
+def _srp_sigs_of(X: np.ndarray, H: np.ndarray) -> np.ndarray:
+    """uint64 SRP signatures of the rows of X against hyperplanes H:
+    bit i = sign of the dot product with hyperplane i."""
+    num_planes = H.shape[1]
+    shifts = np.arange(num_planes, dtype=np.uint64)
+    bits = ((X @ H) > 0.0).astype(np.uint64)
+    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def srp_signatures(
     emb: DataFrame,
     num_planes: int = 64,
@@ -804,7 +820,6 @@ def srp_signatures(
             "is one 64-bit word"
         )
     schema = f"{id_col} long, sig long"
-    shifts = np.arange(num_planes, dtype=np.uint64)
 
     def run(batches):
         H = None
@@ -821,7 +836,7 @@ def srp_signatures(
             X = _emb_matrix(batch.column(vec_col))
             d = X.shape[1]
             if H is None:
-                H = np.random.default_rng(seed).standard_normal((d, num_planes))
+                H = _srp_plane_matrix(d, num_planes, seed)
                 plane_dim = d
             elif d != plane_dim:
                 # mixed-dimension corpus: signatures from unrelated
@@ -836,8 +851,7 @@ def srp_signatures(
                     f"dimensions are incomparable — split the corpus by "
                     f"dimension first"
                 )
-            bits = ((X @ H) > 0.0).astype(np.uint64)
-            sig = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            sig = _srp_sigs_of(X, H)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids.astype(np.int64), pa.int64()),
@@ -902,6 +916,29 @@ def srp_bands_for_threshold(num_planes: int, threshold: float) -> int:
     return bands_for_threshold(num_planes, p)
 
 
+def srp_band_key_array(sig_col: str, num_planes: int, bands: int):
+    """array<long> Column of an SRP signature's band keys — bands
+    contiguous ``num_planes/bands``-bit slices of the 64-bit word.
+    ONE definition shared by the batch bucket join
+    (``embedding_dup_pairs_lsh``) and the streaming store
+    (``streaming.feed.srp_dedup_batch``) so their keys can never
+    diverge."""
+    r = num_planes // bands
+    if r >= 64:
+        # bands=1 over a 64-bit signature (threshold→1.0 derives this)
+        # is an exact-equality join; the mask literal 2^64-1 overflows
+        # a Spark long, so — mirroring banded_hamming_pairs — the
+        # unshifted column IS the single band key
+        return F.array(F.col(sig_col))
+    mask = (1 << r) - 1
+    return F.array(
+        *[
+            F.shiftrightunsigned(F.col(sig_col), r * i).bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ]
+    )
+
+
 def embedding_dup_pairs_lsh(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -941,20 +978,7 @@ def embedding_dup_pairs_lsh(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     sigs = srp_signatures(vecs, num_planes, seed, id_col="vec_id", vec_col="v")
-    if r >= 64:
-        # bands=1 over a 64-bit signature (threshold→1.0 derives this)
-        # is an exact-equality join; the mask literal 2^64-1 overflows
-        # a Spark long, so — mirroring banded_hamming_pairs — the
-        # unshifted column IS the single band key
-        band_arr = F.array(F.col("sig"))
-    else:
-        mask = (1 << r) - 1
-        band_arr = F.array(
-            *[
-                F.shiftrightunsigned(F.col("sig"), r * i).bitwiseAND(F.lit(mask))
-                for i in range(bands)
-            ]
-        )
+    band_arr = srp_band_key_array("sig", num_planes, bands)
     bk = sigs.select("vec_id", F.posexplode(band_arr).alias("band", "key"))
     a = bk.select(F.col("vec_id").alias("vec_a"), "band", "key")
     b = bk.select(F.col("vec_id").alias("vec_b"), "band", "key")

@@ -615,6 +615,203 @@ def _with_minhash_sigs(
     )
 
 
+def _banded_store_dedup_batch(
+    sigs: DataFrame,
+    stream_batch: str,
+    out_dir: str,
+    state_dir: str,
+    *,
+    meta: dict,
+    id_col: str,
+    store_payload: tuple,
+    verify_cols: tuple,
+    prep_expr,
+    sim_fn,
+    sim_name: str,
+    threshold: float,
+    out_cols: tuple,
+    sig_store_schema: str,
+    doc_store_schema: str,
+    pairs_schema: str,
+    n_buckets: int,
+    log_candidates: bool = False,
+    keepers_dir: str | None = None,
+    log_tag: str = "banded_dedup",
+) -> None:
+    """The shared micro-batch body of every payload-verified banded
+    near-dedup stream (MinHash/Jaccard over text, SRP/cosine over
+    embeddings): one bucketed two-table store + candidate equi-join +
+    exact verify, parameterized ONLY by what genuinely differs —
+
+      prep_expr   per-side verify preparation (shingle array / vector
+                  + norm struct) over ``verify_cols``
+      sim_fn      (prep_b, prep_p) -> similarity Column
+      store_payload / schemas / id_col / out_cols
+
+    ``sigs`` is the arriving micro-batch WITH its ``band_hashes``
+    array already attached (computed once, on arrival; the store
+    persists the melted keys so they are never re-hashed).  Semantics,
+    store layout, replay-idempotence, and the strictly-earlier
+    (ts, id) greedy first-wins contract are exactly those documented
+    on ``minhash_dedup_batch`` — which, like ``srp_dedup_batch``, is a
+    thin configuration of this core (the MinHash stream tests
+    therefore gate the core for both)."""
+    spark = sigs.sparkSession
+    from ..operators.dedup import _release_local_checkpoint
+
+    sig_dir = os.path.join(state_dir, "sigs")
+    doc_dir = os.path.join(state_dir, "docs")
+    pairs_dir = os.path.join(state_dir, "pairs")
+    have_store = _check_store_meta(state_dir, meta)
+    pay_names = [c for c, _ in store_payload]
+    sigs = sigs.persist()
+    cand = None
+    verified = None
+    try:
+        bm = sigs.select(
+            id_col, "ts", F.posexplode("band_hashes").alias("band", "band_hash")
+        ).withColumn("_bkt", F.pmod("band_hash", F.lit(n_buckets)).cast("int"))
+        # touched buckets: tiny driver list over the ARRIVING batch only
+        touched = [row._bkt for row in bm.select("_bkt").distinct().collect()]
+        prior = bm.select(
+            F.col(id_col).alias("id_prev"),
+            F.col("ts").alias("ts_prev"),
+            "band",
+            "band_hash",
+        )
+        if have_store:
+            st = _read_parquet_if_exists(spark, sig_dir, sig_store_schema)
+            if st is not None and touched:
+                # partition-column predicates → file listing prunes to
+                # touched buckets; != excludes THIS (stream, batch)'s
+                # own prior-attempt rows on replay
+                st = st.where(
+                    F.col("_bkt").isin(touched)
+                    & (F.col("_stream_batch") != stream_batch)
+                ).select(
+                    F.col(id_col).alias("id_prev"),
+                    F.col("ts").alias("ts_prev"),
+                    "band",
+                    "band_hash",
+                )
+                prior = prior.unionByName(st)
+        # the prior doc must be strictly EARLIER by (ts, id) — this
+        # both enforces landed-table pair order for late arrivals and
+        # excludes each doc's self-pair from the unioned prior side
+        prev_earlier = (F.col("ts_prev") < F.col("ts")) | (
+            (F.col("ts_prev") == F.col("ts")) & (F.col("id_prev") < F.col(id_col))
+        )
+        cand = (
+            bm.select(id_col, "ts", "band", "band_hash")
+            .join(prior, ["band", "band_hash"])
+            .where(prev_earlier)
+            .select(id_col, "id_prev")
+            .distinct()
+            # eager: the candidate set feeds the payload joins and the
+            # optional count — run the bucket join once
+            .localCheckpoint(eager=True)
+        )
+        if log_candidates:
+            print(
+                f"[{log_tag}] batch {stream_batch}: "
+                f"{cand.count()} candidate pairs",
+                flush=True,
+            )
+        # exact verify on candidates only: payloads come from the
+        # arriving batch plus the doc store PRUNED to the candidate
+        # prev-ids' buckets — stored payloads are read only where a
+        # candidate might live
+        pids = cand.select(F.col("id_prev").alias(id_col)).distinct()
+        prior_docs = sigs.select(id_col, *verify_cols)
+        if have_store:
+            pbkts = [
+                row._b
+                for row in pids.select(
+                    F.pmod(id_col, F.lit(n_buckets)).cast("int").alias("_b")
+                )
+                .distinct()
+                .collect()
+            ]
+            if pbkts:
+                ds = _read_parquet_if_exists(spark, doc_dir, doc_store_schema)
+                if ds is not None:
+                    prior_docs = prior_docs.unionByName(
+                        ds.where(
+                            F.col("_dbkt").isin(pbkts)
+                            & (F.col("_stream_batch") != stream_batch)
+                        ).select(id_col, *verify_cols)
+                    )
+        sh_p = prior_docs.join(pids, id_col, "left_semi").select(
+            F.col(id_col).alias("id_prev"), prep_expr.alias("prep_p")
+        )
+        sh_b = sigs.join(
+            cand.select(id_col).distinct(), id_col, "left_semi"
+        ).select(id_col, prep_expr.alias("prep_b"))
+        j = cand.join(sh_b, id_col).join(sh_p, "id_prev")
+        sim = sim_fn(F.col("prep_b"), F.col("prep_p"))
+        # verified pairs feed the suppression anti-join AND the pair
+        # log — persist so the payload joins run once
+        verified = (
+            j.where(sim >= threshold)
+            .select(id_col, "id_prev", F.round(sim, 6).alias(sim_name))
+            .persist()
+        )
+        suppressed = verified.select(id_col).distinct()
+        survivors = sigs.join(suppressed, id_col, "left_anti")
+
+        # state grows by EVERY doc (suppressed included — later docs
+        # must compare against them); sinks idempotent under replay
+        (
+            bm.select("band", "band_hash", id_col, "ts", "_bkt")
+            .withColumn("_stream_batch", F.lit(stream_batch))
+            .write.partitionBy("_bkt", "_stream_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(sig_dir)
+        )
+        (
+            sigs.select(
+                id_col,
+                "ts",
+                *pay_names,
+                F.pmod(id_col, F.lit(n_buckets)).cast("int").alias("_dbkt"),
+            )
+            .withColumn("_stream_batch", F.lit(stream_batch))
+            .write.partitionBy("_dbkt", "_stream_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(doc_dir)
+        )
+        (
+            verified.select(
+                F.col("id_prev").alias("doc_a"),
+                F.col(id_col).alias("doc_b"),
+                sim_name,
+            )
+            .withColumn("_stream_batch", F.lit(stream_batch))
+            .write.partitionBy("_stream_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(pairs_dir)
+        )
+        (
+            survivors.select(*out_cols)
+            .withColumn("_stream_batch", F.lit(stream_batch))
+            .write.partitionBy("_stream_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        if keepers_dir is not None:
+            _update_keepers(spark, pairs_dir, keepers_dir, pairs_schema)
+    finally:
+        sigs.unpersist()
+        if verified is not None:
+            verified.unpersist()
+        if cand is not None:
+            _release_local_checkpoint(cand)
+
+
 def minhash_dedup_batch(
     batch: DataFrame,
     batch_id: int,
@@ -698,186 +895,56 @@ def minhash_dedup_batch(
     view is actually consumed.  For in-order feeds the keeper table
     equals batch ``canonicalize_duplicates`` on the landed table
     restricted to pair-involved docs (tested)."""
-    spark = batch.sparkSession
-    stream_batch = f"{stream_id}x{int(batch_id)}"
     from ..operators.dedup import (
         _band_hash_array,
-        _release_local_checkpoint,
         bands_for_threshold,
         shingle_col,
     )
 
     bands = bands_for_threshold(num_hashes, threshold)
     r = num_hashes // bands
-    sig_dir = os.path.join(state_dir, "sigs")
-    doc_dir = os.path.join(state_dir, "docs")
-    pairs_dir = os.path.join(state_dir, "pairs")
-    have_store = _check_store_meta(
+    # band keys are computed ONCE per doc (here, on arrival) and
+    # PERSISTED melted in the store — later micro-batches never re-hash
+    sigs = batch.withColumn("band_hashes", _band_hash_array(bands, r))
+
+    def jaccard(sh_b, sh_p):
+        return F.size(F.array_intersect(sh_b, sh_p)) / F.greatest(
+            F.size(F.array_union(sh_b, sh_p)), F.lit(1)
+        )
+
+    _banded_store_dedup_batch(
+        sigs,
+        f"{stream_id}x{int(batch_id)}",
+        out_dir,
         state_dir,
-        {
+        meta={
             "kind": "minhash",
             "bands": bands,
             "num_hashes": num_hashes,
             "k": k,
             "n_buckets": n_buckets,
         },
+        id_col="doc_id",
+        store_payload=(("text", "string"), ("sig", "array<long>")),
+        verify_cols=("text",),
+        prep_expr=shingle_col("text", k),
+        sim_fn=jaccard,
+        sim_name="jaccard",
+        threshold=threshold,
+        out_cols=("doc_id", "text", "ts"),
+        sig_store_schema=_MINHASH_SIG_STORE_SCHEMA,
+        doc_store_schema=_MINHASH_DOC_STORE_SCHEMA,
+        pairs_schema=_PAIRS_STORE_SCHEMA,
+        n_buckets=n_buckets,
+        log_candidates=log_candidates,
+        keepers_dir=keepers_dir,
+        log_tag="minhash_dedup",
     )
-    # band keys are computed ONCE per doc (here, on arrival) and
-    # PERSISTED melted in the store — later micro-batches never re-hash
-    sigs = batch.withColumn("band_hashes", _band_hash_array(bands, r)).persist()
-    cand = None
-    verified = None
-    try:
-        bm = sigs.select(
-            "doc_id", "ts", F.posexplode("band_hashes").alias("band", "band_hash")
-        ).withColumn("_bkt", F.pmod("band_hash", F.lit(n_buckets)).cast("int"))
-        # touched buckets: tiny driver list over the ARRIVING batch only
-        touched = [row._bkt for row in bm.select("_bkt").distinct().collect()]
-        prior = bm.select(
-            F.col("doc_id").alias("id_prev"),
-            F.col("ts").alias("ts_prev"),
-            "band",
-            "band_hash",
-        )
-        if have_store:
-            st = _read_parquet_if_exists(spark, sig_dir, _MINHASH_SIG_STORE_SCHEMA)
-            if st is not None and touched:
-                # partition-column predicates → file listing prunes to
-                # touched buckets; != excludes THIS (stream, batch)'s
-                # own prior-attempt rows on replay
-                st = st.where(
-                    F.col("_bkt").isin(touched)
-                    & (F.col("_stream_batch") != stream_batch)
-                ).select(
-                    F.col("doc_id").alias("id_prev"),
-                    F.col("ts").alias("ts_prev"),
-                    "band",
-                    "band_hash",
-                )
-                prior = prior.unionByName(st)
-        # the prior doc must be strictly EARLIER by (ts, doc_id) — this
-        # both enforces landed-table pair order for late arrivals and
-        # excludes each doc's self-pair from the unioned prior side
-        prev_earlier = (F.col("ts_prev") < F.col("ts")) | (
-            (F.col("ts_prev") == F.col("ts")) & (F.col("id_prev") < F.col("doc_id"))
-        )
-        cand = (
-            bm.select("doc_id", "ts", "band", "band_hash")
-            .join(prior, ["band", "band_hash"])
-            .where(prev_earlier)
-            .select("doc_id", "id_prev")
-            .distinct()
-            # eager: the candidate set feeds the text joins and the
-            # optional count — run the bucket join once
-            .localCheckpoint(eager=True)
-        )
-        if log_candidates:
-            print(
-                f"[minhash_dedup] batch {stream_batch}: "
-                f"{cand.count()} candidate pairs",
-                flush=True,
-            )
-        # exact verify on candidates only: texts come from the arriving
-        # batch plus the doc store PRUNED to the candidate prev-ids'
-        # buckets — the store's text column is read only where a
-        # candidate might live
-        pids = cand.select(F.col("id_prev").alias("doc_id")).distinct()
-        prior_docs = sigs.select("doc_id", "text")
-        if have_store:
-            pbkts = [
-                row._b
-                for row in pids.select(
-                    F.pmod("doc_id", F.lit(n_buckets)).cast("int").alias("_b")
-                )
-                .distinct()
-                .collect()
-            ]
-            if pbkts:
-                ds = _read_parquet_if_exists(
-                    spark, doc_dir, _MINHASH_DOC_STORE_SCHEMA
-                )
-                if ds is not None:
-                    prior_docs = prior_docs.unionByName(
-                        ds.where(
-                            F.col("_dbkt").isin(pbkts)
-                            & (F.col("_stream_batch") != stream_batch)
-                        ).select("doc_id", "text")
-                    )
-        sh_p = prior_docs.join(pids, "doc_id", "left_semi").select(
-            F.col("doc_id").alias("id_prev"), shingle_col("text", k).alias("sh_p")
-        )
-        sh_b = sigs.join(
-            cand.select("doc_id").distinct(), "doc_id", "left_semi"
-        ).select("doc_id", shingle_col("text", k).alias("sh_b"))
-        j = cand.join(sh_b, "doc_id").join(sh_p, "id_prev")
-        jac = F.size(F.array_intersect("sh_b", "sh_p")) / F.greatest(
-            F.size(F.array_union("sh_b", "sh_p")), F.lit(1)
-        )
-        # verified pairs feed the suppression anti-join AND the pair
-        # log — persist so the text joins run once
-        verified = (
-            j.where(jac >= threshold)
-            .select("doc_id", "id_prev", F.round(jac, 6).alias("jaccard"))
-            .persist()
-        )
-        suppressed = verified.select("doc_id").distinct()
-        survivors = sigs.join(suppressed, "doc_id", "left_anti")
-
-        # state grows by EVERY doc (suppressed included — later docs
-        # must compare against them); sinks idempotent under replay
-        (
-            bm.select("band", "band_hash", "doc_id", "ts", "_bkt")
-            .withColumn("_stream_batch", F.lit(stream_batch))
-            .write.partitionBy("_bkt", "_stream_batch")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(sig_dir)
-        )
-        (
-            sigs.select(
-                "doc_id",
-                "ts",
-                "text",
-                "sig",
-                F.pmod("doc_id", F.lit(n_buckets)).cast("int").alias("_dbkt"),
-            )
-            .withColumn("_stream_batch", F.lit(stream_batch))
-            .write.partitionBy("_dbkt", "_stream_batch")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(doc_dir)
-        )
-        (
-            verified.select(
-                F.col("id_prev").alias("doc_a"),
-                F.col("doc_id").alias("doc_b"),
-                "jaccard",
-            )
-            .withColumn("_stream_batch", F.lit(stream_batch))
-            .write.partitionBy("_stream_batch")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(pairs_dir)
-        )
-        (
-            survivors.select("doc_id", "text", "ts")
-            .withColumn("_stream_batch", F.lit(stream_batch))
-            .write.partitionBy("_stream_batch")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
-        if keepers_dir is not None:
-            _update_keepers(spark, pairs_dir, keepers_dir)
-    finally:
-        sigs.unpersist()
-        if verified is not None:
-            verified.unpersist()
-        if cand is not None:
-            _release_local_checkpoint(cand)
 
 
-def _update_keepers(spark, pairs_dir: str, keepers_dir: str) -> None:
+def _update_keepers(
+    spark, pairs_dir: str, keepers_dir: str, pairs_schema: str = _PAIRS_STORE_SCHEMA
+) -> None:
     """Recompute the canonical-document table from the accumulated pair
     log: ``canonicalize_duplicates`` (cluster = min reachable id via
     pointer-jumping label propagation; winner per cluster via the
@@ -892,7 +959,7 @@ def _update_keepers(spark, pairs_dir: str, keepers_dir: str) -> None:
 
     from ..operators.dedup import canonicalize_duplicates
 
-    pairs = _read_parquet_if_exists(spark, pairs_dir, _PAIRS_STORE_SCHEMA)
+    pairs = _read_parquet_if_exists(spark, pairs_dir, pairs_schema)
     if pairs is None or pairs.limit(1).count() == 0:
         out = spark.createDataFrame([], "doc_id long, cluster_id long, keep boolean")
     else:
