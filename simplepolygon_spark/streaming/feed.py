@@ -20,6 +20,11 @@ give the streaming path:
   start_minhash_near_dedup — in-stream MinHash/Jaccard near-dedup:
                          "drop re-crawls at j≥0.8 as they arrive";
                          same store architecture, exact-Jaccard verify
+  start_srp_near_dedup — in-stream embedding (SRP/cosine) near-dedup:
+                         the third modality on the same bucketed-store
+                         core (_banded_store_dedup_batch), exact-cosine
+                         verify against batch embedding_dup_pairs_lsh
+                         geometry
   decontaminate_feed   — drop benchmark-overlapping docs as they arrive
                          (stateless stream-static broadcast anti-join)
   decontaminate_feed_ngrams — drop docs sharing any normalized word
@@ -84,6 +89,17 @@ _SIMHASH_SIG_STORE_SCHEMA = (
     "_bkt int, _stream_batch string"
 )
 _PAIRS_STORE_SCHEMA = "doc_a long, doc_b long, jaccard double, _stream_batch string"
+_SRP_SIG_STORE_SCHEMA = (
+    "band int, band_hash long, vec_id long, ts timestamp, "
+    "_bkt int, _stream_batch string"
+)
+_SRP_DOC_STORE_SCHEMA = (
+    "vec_id long, ts timestamp, v array<double>, sig long, "
+    "_dbkt int, _stream_batch string"
+)
+_SRP_PAIRS_STORE_SCHEMA = (
+    "doc_a long, doc_b long, cosine double, _stream_batch string"
+)
 
 
 def _read_parquet_if_exists(spark, path: str, schema: str | None = None):
@@ -1029,6 +1045,194 @@ def start_minhash_near_dedup(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def _with_srp_sigs(
+    emb_feed: DataFrame, dim: int, num_planes: int = 64, seed: int = 7
+) -> DataFrame:
+    """(vec_id, v array<double>, ts, sig long) — the stream-side twin
+    of ``operators.dedup.srp_signatures``: the same seeded hyperplane
+    matrix (``_srp_plane_matrix``) and the same sign-bit packing
+    (``_srp_sigs_of``), so stream and landed-table batch signatures
+    can never diverge.  Unlike the batch op's first-batch dimension
+    inference, ``dim`` is DECLARED by the caller and enforced in every
+    task: a feed that drifts dimension mid-stream would otherwise
+    silently emit signatures sharing one 64-bit space with the store's
+    while being incomparable to them.  The cast-to-double vector rides
+    along — the doc store needs it for exact cosine verification."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..operators.dedup import _srp_plane_matrix, _srp_sigs_of
+    from ..operators.similarity import _emb_matrix
+
+    H = _srp_plane_matrix(dim, num_planes, seed)
+    schema = "vec_id long, v array<double>, ts timestamp, sig long"
+
+    def run(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            X = _emb_matrix(batch.column("v"))
+            if X.shape[1] != dim:
+                raise ValueError(
+                    f"embedding dimension {X.shape[1]} != declared "
+                    f"dim {dim} — signatures across dimensions are "
+                    "incomparable; split the feed by dimension"
+                )
+            sig = _srp_sigs_of(X, H)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    batch.column("v"),
+                    batch.column("ts"),
+                    pa.array(sig.view(np.int64), pa.int64()),
+                ],
+                names=["vec_id", "v", "ts", "sig"],
+            )
+
+    # a NULL vector has no signature — exclude SQL-side (the kernel
+    # rejects NULLs loudly rather than misaligning the matrix)
+    return (
+        emb_feed.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+            "ts",
+        )
+        .where(F.col("v").isNotNull())
+        .mapInArrow(run, schema)
+    )
+
+
+def srp_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    state_dir: str,
+    threshold: float = 0.95,
+    num_planes: int = 64,
+    seed: int = 7,
+    dim: int = 0,
+    stream_id: str = "s0",
+    log_candidates: bool = False,
+    n_buckets: int = STORE_BUCKETS,
+    keepers_dir: str | None = None,
+) -> None:
+    """One micro-batch of SRP (cosine) banded near-dedup over an
+    embedding feed — the ``foreachBatch`` body of
+    ``start_srp_near_dedup``, split out so tests can drive it as plain
+    batch code.  A thin configuration of ``_banded_store_dedup_batch``
+    (store layout, touched-bucket pruning, replay idempotence, the
+    strictly-earlier (ts, vec_id) greedy first-wins contract, keeper
+    maintenance — all documented there and on ``minhash_dedup_batch``):
+
+      banding     ``srp_bands_for_threshold(num_planes, threshold)``
+                  band keys via ``srp_band_key_array`` — bit-for-bit
+                  the batch ``embedding_dup_pairs_lsh`` geometry
+      payload     the float64 vector (verify needs it; stored in the
+                  doc-id-bucketed side table, never on the sig path)
+      verify      exact cosine via zip_with/aggregate, JVM-side — the
+                  same expression as the batch op.  (One rounding
+                  daylight: the batch op thresholds the 6-dp ROUNDED
+                  cosine, this thresholds the raw one — divergence only
+                  for pairs within 5e-7 of the threshold.)
+
+    ``dim`` is recorded in the store meta, so resuming the stream with
+    a different declared dimension fails loudly instead of joining
+    incomparable signatures."""
+    from ..operators.dedup import srp_band_key_array, srp_bands_for_threshold
+
+    bands = srp_bands_for_threshold(num_planes, threshold)
+    sigs = batch.withColumn(
+        "band_hashes", srp_band_key_array("sig", num_planes, bands)
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    prep = F.struct(F.col("v").alias("v"), nrm.alias("nrm"))
+
+    def cosine(b, p):
+        dot = F.aggregate(
+            F.zip_with(b["v"], p["v"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return dot / (b["nrm"] * p["nrm"])
+
+    _banded_store_dedup_batch(
+        sigs,
+        f"{stream_id}x{int(batch_id)}",
+        out_dir,
+        state_dir,
+        meta={
+            "kind": "srp",
+            "bands": bands,
+            "num_planes": num_planes,
+            "seed": seed,
+            "dim": dim,
+            "n_buckets": n_buckets,
+        },
+        id_col="vec_id",
+        store_payload=(("v", "array<double>"), ("sig", "long")),
+        verify_cols=("v",),
+        prep_expr=prep,
+        sim_fn=cosine,
+        sim_name="cosine",
+        threshold=threshold,
+        out_cols=("vec_id", "v", "ts"),
+        sig_store_schema=_SRP_SIG_STORE_SCHEMA,
+        doc_store_schema=_SRP_DOC_STORE_SCHEMA,
+        pairs_schema=_SRP_PAIRS_STORE_SCHEMA,
+        n_buckets=n_buckets,
+        log_candidates=log_candidates,
+        keepers_dir=keepers_dir,
+        log_tag="srp_dedup",
+    )
+
+
+def start_srp_near_dedup(
+    emb_feed: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 64,
+    seed: int = 7,
+    keepers_dir: str | None = None,
+    **trigger,
+):
+    """Streaming embedding (SRP/cosine) near-dedup: drop any vector
+    whose exact cosine with ANY earlier vector is ≥ threshold, as it
+    arrives — the in-stream equivalent of batch
+    ``embedding_dup_pairs_lsh``, completing the in-stream modality set
+    (SimHash text, MinHash text, SRP embeddings) on the ONE shared
+    bucketed-store core.  ``dim`` is the (required) embedding
+    dimension: declared, enforced per task, and pinned in the store
+    meta.  ``keepers_dir`` maintains the incremental canonical table
+    exactly as in ``start_minhash_near_dedup``.  Returns the started
+    StreamingQuery."""
+    sid = stream_id_for(checkpoint_dir)
+    sigs = _with_srp_sigs(emb_feed, dim, num_planes, seed)
+    return (
+        sigs.writeStream.foreachBatch(
+            lambda df, bid: srp_dedup_batch(
+                df,
+                bid,
+                out_dir,
+                state_dir,
+                threshold,
+                num_planes,
+                seed,
+                dim,
+                stream_id=sid,
+                keepers_dir=keepers_dir,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
 
 
 def _split_stream_batch(v: str):

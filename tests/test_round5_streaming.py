@@ -294,3 +294,174 @@ def test_stream_keepers_equal_batch_canonicalize(spark, tmp_path):
     for c, members in by_cluster.items():
         keeps = [d for d, k in members if k]
         assert keeps == [min(d for d, _ in members)] and keeps == [c]
+
+
+# ---------------------------------------------------------------------------
+# In-stream embedding (SRP/cosine) near-dedup — the third modality on the
+# shared bucketed-store core
+# ---------------------------------------------------------------------------
+
+
+def _mk_emb_rows(spark, n_base=40, n_dup=8):
+    """Base vectors from testdata plus planted exact re-posts (cosine 1)
+    and small-angle jitters (cosine ≈ 0.995 ≥ 0.95, < 1)."""
+    import numpy as np
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(n_base)
+        .collect()
+    )
+    rows, vid = [], 0
+
+    def add(vec):
+        nonlocal vid
+        rows.append((vid, [float(x) for x in vec], TS0 + pd.Timedelta(seconds=vid)))
+        vid += 1
+
+    for r in base:
+        add(r.embedding)
+    rng = np.random.default_rng(5)
+    for r in base[:n_dup]:
+        add(r.embedding)  # exact re-post
+        v = np.asarray(r.embedding, dtype=np.float64)
+        u = rng.standard_normal(v.size)
+        u /= np.linalg.norm(u)
+        add(v + 0.1 * np.linalg.norm(v) * u)  # cos ≈ 1/sqrt(1.01) ≈ 0.995
+    return pd.DataFrame(rows, columns=["vec_id", "embedding", "ts"])
+
+
+def test_srp_stream_equals_batch_pairs(spark, tmp_path):
+    """The streaming SRP near-dedup's survivor set equals what batch
+    embedding_dup_pairs_lsh implies on the landed table (ts order ==
+    vec_id order here), through a real 3-micro-batch stream."""
+    from simplepolygon_spark.operators.dedup import embedding_dup_pairs_lsh
+    from simplepolygon_spark.streaming.feed import start_srp_near_dedup
+
+    pdf = _mk_emb_rows(spark)
+    feed_dir = str(tmp_path / "efeed")
+    for sl in (slice(0, 30), slice(30, 48), slice(48, None)):
+        spark.createDataFrame(pdf[sl]).coalesce(1).write.mode("append").parquet(
+            feed_dir
+        )
+    st = (
+        spark.readStream.schema("vec_id long, embedding array<double>, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    out_dir = str(tmp_path / "eout")
+    keepers_dir = str(tmp_path / "ekeepers")
+    q = start_srp_near_dedup(
+        st,
+        out_dir,
+        str(tmp_path / "estate"),
+        str(tmp_path / "eckpt"),
+        dim=64,
+        threshold=0.95,
+        keepers_dir=keepers_dir,
+    )
+    q.awaitTermination(240)
+    got = {r.vec_id for r in spark.read.parquet(out_dir).select("vec_id").collect()}
+
+    landed = spark.createDataFrame(pdf)
+    pairs = embedding_dup_pairs_lsh(landed, threshold=0.95).collect()
+    suppressed = {p.vec_b for p in pairs}
+    expect = set(pdf.vec_id) - suppressed
+    assert got == expect
+    # the scenario must exercise non-exact (cos<1) suppression in-stream
+    assert any(p.cosine < 1.0 for p in pairs), "no near (non-equal) pair planted"
+    assert len(suppressed) >= 8
+    # keeper table: one keeper per cluster, min-id, consistent with pairs
+    keep = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in spark.read.parquet(keepers_dir).collect()
+    }
+    assert keep, "keeper table empty despite planted duplicates"
+    for did, cid, k in keep:
+        assert k == (did == cid)  # min-id winner convention
+
+
+def test_srp_batch_replay_and_dim_guard(spark, tmp_path):
+    """Replaying one (batch, batch_id) leaves output and state
+    unchanged; a store written under dim=64 refuses dim=32; the
+    signature kernel rejects vectors that contradict the declared
+    dimension in-task."""
+    import pytest as _pytest
+
+    from simplepolygon_spark.streaming.feed import (
+        _with_srp_sigs,
+        srp_dedup_batch,
+    )
+
+    pdf = _mk_emb_rows(spark, n_base=12, n_dup=3)
+    sigs = _with_srp_sigs(spark.createDataFrame(pdf), dim=64)
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    srp_dedup_batch(sigs, 0, out, state, threshold=0.95, dim=64)
+    first = sorted(r.vec_id for r in spark.read.parquet(out).collect())
+    assert len(first) < len(pdf)  # something was suppressed
+    srp_dedup_batch(sigs, 0, out, state, threshold=0.95, dim=64)  # replay
+    again = sorted(r.vec_id for r in spark.read.parquet(out).collect())
+    assert first == again
+    # one row per vector in the payload side table
+    assert spark.read.parquet(state + "/docs").count() == len(pdf)
+    # store-meta dim pin: resuming with another declared dim fails loudly
+    with _pytest.raises(ValueError, match="written with config"):
+        srp_dedup_batch(sigs, 1, out, state, threshold=0.95, dim=32)
+    # in-task dimension guard: declared dim must match the data
+    bad = _with_srp_sigs(spark.createDataFrame(pdf), dim=32)
+    with _pytest.raises(Exception, match="declared"):
+        bad.collect()
+
+
+def test_srp_store_scan_bounded_by_touched_buckets(spark, tmp_path):
+    """Behavioral pruning proof for the SRP store, same scheme as the
+    MinHash one: corrupt every sig-store bucket the next batch does NOT
+    touch — the pruned cross-batch read must survive and stay exact."""
+    from simplepolygon_spark.operators.dedup import (
+        srp_band_key_array,
+        srp_bands_for_threshold,
+    )
+    from simplepolygon_spark.streaming.feed import (
+        _with_srp_sigs,
+        srp_dedup_batch,
+    )
+
+    pdf = _mk_emb_rows(spark, n_base=20, n_dup=0)
+    mk = lambda frame: _with_srp_sigs(spark.createDataFrame(frame), dim=64)
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    srp_dedup_batch(mk(pdf), 0, out, state, threshold=0.95, dim=64)
+
+    # batch 1: re-post of row 0 (must be suppressed cross-batch) plus a
+    # fresh vector
+    rows1 = pdf.iloc[[0]].copy()
+    rows1["vec_id"] = [1000]
+    rows1["ts"] = [TS0 + pd.Timedelta(seconds=1000)]
+    import numpy as np
+
+    # a fresh random direction: cosine vs anything in batch 0 is
+    # O(1/sqrt(64)) — nowhere near the 0.95 threshold
+    rv = np.random.default_rng(99).standard_normal(64)
+    fresh = pd.DataFrame(
+        [(1001, [float(x) for x in rv], TS0 + pd.Timedelta(seconds=1001))],
+        columns=["vec_id", "embedding", "ts"],
+    )
+    frame1 = pd.concat([rows1, fresh])
+
+    bands = srp_bands_for_threshold(64, 0.95)
+    touched = {
+        r.b
+        for r in mk(frame1)
+        .select(F.explode(srp_band_key_array("sig", 64, bands)).alias("h"))
+        .select(F.pmod("h", F.lit(64)).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert len(touched) < 64, "batch touches every bucket — proof vacuous"
+    n = _corrupt_buckets(state + "/sigs", "_bkt", touched)
+    assert n > 0, "nothing corrupted — proof vacuous"
+
+    srp_dedup_batch(mk(frame1), 1, out, state, threshold=0.95, dim=64)
+    got = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert 1000 not in got  # cross-batch suppression through pruned store
+    assert 1001 in got
