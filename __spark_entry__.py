@@ -1545,6 +1545,45 @@ def _q_tfidf_topk_sql():
     """
 
 
+def q_token_budget(spark, sf_dir):
+    """Deterministic token-budgeted mixture sample: per lang, take docs
+    in (md5(id), id) order until 2000 tokens — the way training
+    mixtures are drawn against a token target, reproducible on any
+    cluster size (no seeded Bernoulli).  The engine computes the
+    running sum as a DISTRIBUTED PREFIX SUM (order-preserving
+    md5-prefix buckets → per-bucket subtotals → tiny exclusive prefix
+    → per-bucket local window + offset), so a domain holding most of
+    the corpus spreads over 256 reducers instead of serializing one;
+    the oracle is the plain one-window cumsum of the same contract
+    (operators/sampling.py)."""
+    from simplepolygon_spark.operators.sampling import token_budget_sample
+
+    d = _read(spark, sf_dir, "documents")
+    return token_budget_sample(d, default_budget=2000)
+
+
+def _q_token_budget_sql():
+    # token expression mirrors sampling._n_tokens_col (see
+    # _q_pack_sequences_sql); cum cast: DuckDB window sum(int) is
+    # HUGEINT, Spark's is BIGINT
+    return r"""
+        WITH t AS (SELECT doc_id, lang,
+                          CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') IS NULL
+                                 OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                               ELSE CAST(len(regexp_split_to_array(
+                                      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS INTEGER)
+                          END AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, lang, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        FROM c WHERE cum <= 2000
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "decompose_rings": q_decompose_rings,
@@ -1587,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "tfidf_topk": q_tfidf_topk,
+        "token_budget": q_token_budget,
     }
 
 
@@ -1632,4 +1672,5 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _q_sessionize_sql(),
         "asof_join": _q_asof_join_sql(),
         "tfidf_topk": _q_tfidf_topk_sql(),
+        "token_budget": _q_token_budget_sql(),
     }

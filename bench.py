@@ -145,6 +145,9 @@ def main() -> None:
         "ngram_jaccard_lsh",
         "canonical",
         "covariance",
+        "sessionize",
+        "asof_join",
+        "tfidf_topk",
     ):
         timed(name, lambda name=name: Q[name](spark, sf_dir).count())
 

@@ -147,6 +147,99 @@ def pack_sequences_sharded(
     )
 
 
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: dict | None = None,
+    default_budget: int = 0,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(id, domain, n_tokens, cum_tokens): the deterministic
+    token-budgeted mixture sample — per domain, take docs in
+    ``(md5(id), id)`` order until the domain's token budget is filled
+    (the maximal prefix whose every inclusive running sum is ≤ budget;
+    the first overflowing doc and everything after it are excluded).
+    This is how training mixtures are drawn against a token target
+    ("20 B tokens of lang=de, 5 B of code"): deterministic — the same
+    corpus always yields the same sample, on any cluster size — and
+    exactly reproducible in ANSI SQL (one window cumsum), unlike
+    seeded Bernoulli sampling.  ``budgets`` maps domain value → token
+    budget; absent domains fall back to ``default_budget`` (0 = drop).
+
+    SHAPE — a distributed prefix sum, not one window per domain (a
+    domain holding most of the corpus would serialize into a single
+    reducer):
+
+      1. bucket = an ORDER-PRESERVING md5-prefix range (first byte
+         scaled to ``n_buckets``), so sorting by (bucket, md5, id)
+         IS sorting by (md5, id);
+      2. per-(domain, bucket) token subtotals — map-side combined,
+         domains × buckets tiny rows out;
+      3. exclusive prefix over the subtotals per domain (a window on
+         the TINY frame) = each bucket's starting offset;
+      4. offsets broadcast back; per-(domain, bucket) local running
+         sum + offset = the exact global running sum — the hot domain
+         is spread across ``n_buckets`` reducers.
+
+    The corpus shuffles ONCE (the local window's (domain, bucket)
+    exchange); the subtotal aggregate moves only partials.  Token
+    counts are exact integers (``_n_tokens_col``), so cross-engine
+    equality is bit-exact.  Bucket-count invariance (n_buckets=1 ≡
+    256) is pinned by test."""
+    if budgets is None:
+        budgets = {}
+    helpers = ("__tb_h", "__tb_b", "__tb_s", "__tb_off")
+    clash = [c for c in helpers if c in docs.columns]
+    if clash:
+        raise ValueError(f"token_budget_sample: input already has column(s) {clash}")
+    if not 1 <= n_buckets <= 256:
+        raise ValueError("n_buckets must be in [1, 256] (md5 first-byte ranges)")
+    h = F.md5(F.col(id_col).cast("string"))
+    # first md5 byte (0..255) scaled down — order-preserving ranges
+    b = F.floor(
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int") * n_buckets / 256
+    ).cast("int")
+    t = docs.select(
+        F.col(id_col),
+        F.col(domain_col),
+        _n_tokens_col().alias("n_tokens"),
+        h.alias("__tb_h"),
+        b.alias("__tb_b"),
+    )
+    sub = t.groupBy(domain_col, "__tb_b").agg(F.sum("n_tokens").alias("__tb_s"))
+    woff = (
+        Window.partitionBy(domain_col)
+        .orderBy("__tb_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = sub.select(
+        domain_col,
+        "__tb_b",
+        F.coalesce(F.sum("__tb_s").over(woff), F.lit(0)).alias("__tb_off"),
+    )
+    wloc = (
+        Window.partitionBy(domain_col, "__tb_b")
+        .orderBy("__tb_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if budgets:
+        bmap = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+        budget = F.coalesce(
+            F.element_at(bmap, F.col(domain_col)), F.lit(default_budget)
+        )
+    else:
+        budget = F.lit(default_budget)
+    return (
+        t.join(F.broadcast(off), [domain_col, "__tb_b"])
+        .withColumn(
+            "cum_tokens", (F.col("__tb_off") + F.sum("n_tokens").over(wloc))
+        )
+        .where(F.col("cum_tokens") <= budget)
+        .select(id_col, domain_col, "n_tokens", "cum_tokens")
+    )
+
+
 def decontaminate(train: DataFrame, benchmark: DataFrame) -> DataFrame:
     """Training rows whose normalized text fingerprint does NOT occur
     in the benchmark set (exact-overlap decontamination).  The

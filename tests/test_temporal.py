@@ -217,3 +217,29 @@ def test_sessionize_stream_equals_batch(spark, tmp_path):
         for r in session_stats(ev, gap="12 hours").collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# plan shape (the PLANS.md one-exchange claims, pinned)
+# ---------------------------------------------------------------------------
+
+
+def test_session_stats_single_exchange_plan(spark):
+    """ONE hash(user) exchange serves both windows AND the per-session
+    aggregate: hash partitioning on a subset of the grouping keys
+    already clusters the groups, so Catalyst inserts no second
+    exchange (PLANS.md)."""
+    ev = _ev(spark, [(i, i % 3, i * 60, 1.0) for i in range(30)])
+    plan = session_stats(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_asof_join_single_exchange_plan(spark):
+    """union + running-last is ONE shuffle on the key — never a range
+    join or per-key cross product (PLANS.md)."""
+    l = _ev(spark, [(i, i % 3, i * 60, 1.0) for i in range(10)])
+    r = _ev(spark, [(100 + i, i % 3, i * 45, 1.0) for i in range(10)])
+    out = asof_join(l, r)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan  # no join operator at all — pure window

@@ -117,3 +117,25 @@ def test_topk_matches_naive_dense(spark):
         for c, nj in sims[:2]:
             want.add((i, -nj))
     assert got == want
+
+
+def test_tfidf_weights_single_doc_exchange_plan(spark, tmp_path):
+    """The explicit repartition(doc_id) is the tf branch's ONLY
+    doc-partitioned exchange: the (doc, term) groupBy is subset-
+    satisfied by it and the per-doc norm window's sort sits directly
+    on the (partitioning-preserving) broadcast idf join (PLANS.md).
+    The df branch's exchanges are term-keyed, vocabulary-scale.
+    Parquet-backed input: the vocabulary-sized df frame broadcasts off
+    the scan statistics (on a stats-less in-memory frame the static
+    planner falls back to a term SMJ and AQE makes the same call at
+    runtime instead)."""
+    _docs(
+        spark,
+        [(i, f"shared term{i % 3} body number {i}") for i in range(12)],
+    ).write.parquet(str(tmp_path / "docs"))
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+    plan = (
+        tfidf_weights(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("hashpartitioning(doc_id") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
