@@ -1496,11 +1496,16 @@ def q_tfidf_topk(spark, sf_dir):
     terms — each term contributes df² candidate rows — instead of as
     dense |V|-dim vectors.  Cosine is rounded before ranking and ties
     break on doc_b, so the emitted top-3 set is deterministic across
-    engines."""
+    engines.  max_df_frac=0.5 — the documented scale shape: this
+    synthetic corpus is 30 boilerplate terms in ~77% of docs plus rare
+    content terms, and the unpruned postings join is 448M candidate
+    rows (~106 s at sf0.1) versus 62k pruned.  The oracle applies the
+    identical df cutoff (weights and norms renormalize over the pruned
+    vocabulary in both engines)."""
     from simplepolygon_spark.operators.tfidf import tfidf_topk_similar
 
     docs = _read(spark, sf_dir, "documents")
-    return tfidf_topk_similar(docs, k=3)
+    return tfidf_topk_similar(docs, k=3, max_df_frac=0.5)
 
 
 def _q_tfidf_topk_sql():
@@ -1515,7 +1520,9 @@ def _q_tfidf_topk_sql():
         tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
                FROM toks GROUP BY 1, 2),
         dft AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
-                FROM toks GROUP BY 1),
+                FROM toks GROUP BY 1
+                HAVING count(DISTINCT doc_id)::DOUBLE
+                       <= 0.5 * (SELECT count(*) FROM documents)),
         w AS (
           SELECT tf.doc_id, tf.term,
                  tf.tf * (ln((1 + (SELECT n FROM n)) / (1 + dft.df)) + 1) AS w

@@ -17,7 +17,13 @@ The known hazard is hot posting lists: a term appearing in every doc
 contributes |docs|² join rows.  ``max_df_frac`` prunes terms with
 df > frac·N from the VOCABULARY (weights and norms recomputed over the
 pruned vocabulary — standard stopword/boilerplate pruning, not a
-silent result cap); at web scale one always sets it.
+silent result cap); at web scale one always sets it.  Measured on the
+sf0.1 synthetic corpus (5k docs whose vocabulary is 30 boilerplate
+terms at df≈77% + rare content terms): unpruned the postings join is
+448M candidate rows and ~106 s; ``max_df_frac=0.5`` leaves 62k
+candidate rows and ~6 s (job-floor dominated) — a 16× wall-clock gap
+that only widens with corpus size, since the hot-term df² term grows
+quadratically while the pruned mass grows linearly.
 """
 
 from __future__ import annotations
