@@ -200,6 +200,18 @@ def token_budget_sample(
     b = F.floor(
         F.conv(F.substring(h, 1, 2), 16, 10).cast("int") * n_buckets / 256
     ).cast("int")
+    # NULL domains are rejected loudly: the window would give them their
+    # own partition but the offset equi-join (NULL != NULL) would then
+    # silently drop every one of them — an unbudgeted-domain decision
+    # belongs to the caller, not to join null semantics
+    dom = F.when(
+        F.col(domain_col).isNull(),
+        F.raise_error(
+            F.lit(f"token_budget_sample: NULL {domain_col} row — fill or "
+                  "filter the domain column first")
+        ),
+    ).otherwise(F.col(domain_col))
+    docs = docs.withColumn(domain_col, dom)
     t = docs.select(
         F.col(id_col),
         F.col(domain_col),

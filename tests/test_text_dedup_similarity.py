@@ -422,3 +422,16 @@ def test_token_budget_sample_bucket_invariance_and_guards(spark):
         token_budget_sample(docs, budgets, n_buckets=0)
     with _pytest.raises(ValueError, match="column"):
         token_budget_sample(docs.withColumn("__tb_h", F.lit(1)), budgets)
+
+
+def test_token_budget_sample_null_domain_raises(spark):
+    import pytest as _pytest
+
+    from simplepolygon_spark.operators.sampling import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(0, "en", "a b c"), (1, None, "d e f")],
+        "doc_id long, lang string, text string",
+    )
+    with _pytest.raises(Exception, match="NULL lang"):
+        token_budget_sample(docs, {"en": 100}).collect()
