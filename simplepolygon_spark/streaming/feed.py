@@ -30,6 +30,11 @@ give the streaming path:
   decontaminate_feed_ngrams — drop docs sharing any normalized word
                          n-gram with the benchmark (stateless
                          stream-static arrays_overlap anti-join)
+  start_token_budget_admission — admit arriving docs per domain until
+                         the domain's token budget fills, then close
+                         it (in-stream twin of sampling
+                         .token_budget_sample; per-domain parquet
+                         state, replay-idempotent)
   start_assign_with_lineage — the full ingest→assign→commit sink:
                          foreachBatch writes each micro-batch through
                          the lineage log (exactly-once across replays;
@@ -99,6 +104,10 @@ _SRP_DOC_STORE_SCHEMA = (
 )
 _SRP_PAIRS_STORE_SCHEMA = (
     "doc_a long, doc_b long, cosine double, _stream_batch string"
+)
+_TOKEN_BUDGET_STATE_SCHEMA = (
+    "domain string, cum_tokens long, closed boolean, batch_seq long, "
+    "_stream_batch string"
 )
 
 
@@ -587,6 +596,209 @@ def decontaminate_feed_ngrams(
         F.arrays_overlap(F.col(tg), F.col("__bg")),
         "left_anti",
     ).drop(tg)
+
+
+def token_budget_admit_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    state_dir: str,
+    budgets: dict | None = None,
+    default_budget: int = 0,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    stream_id: str = "s0",
+) -> None:
+    """One micro-batch of in-stream token-budget admission — the
+    ``foreachBatch`` body of ``start_token_budget_admission``, the
+    online twin of ``operators.sampling.token_budget_sample`` ("stop
+    ingesting lang=de once we have 20 B tokens of it").
+
+    SEMANTICS — the batch rule applied in arrival order: per domain,
+    docs are admitted while the inclusive running token sum stays ≤ the
+    domain's budget; the FIRST overflowing doc CLOSES the domain —
+    everything after it is excluded, even later docs small enough to
+    fit (same maximal-prefix contract as the batch operator, which
+    makes the admitted set a prefix and the state monotone).  Order is
+    arrival order across micro-batches and ``(md5(id), id)`` within
+    one (ties inside a batch have no arrival order; the md5 key makes
+    them reproducible and makes a single-batch stream EQUAL the batch
+    operator bit-for-bit — tested).  Token counts are
+    ``sampling._n_tokens_col`` — one definition, so stream and batch
+    sums can never diverge.
+
+    STATE is one (cum_tokens, closed) row PER DOMAIN PER BATCH in a
+    ``_stream_batch``-partitioned parquet table: reads take each
+    domain's latest row by ``batch_seq`` EXCLUDING the current batch's
+    partition, writes dynamically overwrite only the current partition
+    — so a replayed batch recomputes from exactly the pre-batch state
+    (idempotent, same contract as the near-dedup stores).  Budgets are
+    pinned in ``_store_meta.json``: resuming a store under different
+    budgets fails loudly instead of silently bending the mixture.
+
+    Plan shape per batch: the state read is O(domains) rows and
+    broadcast; the only data shuffle is ONE per-domain window over the
+    ARRIVING batch (bounded by the trigger, so a hot domain is a
+    micro-batch, not a corpus — the bucketed distributed prefix sum in
+    ``token_budget_sample`` remains the corpus-scale path)."""
+    from ..operators.sampling import _n_tokens_col
+
+    spark = batch.sparkSession
+    from pyspark.sql import Window
+
+    stream_batch = f"{stream_id}x{int(batch_id)}"
+    meta = {
+        "kind": "token_budget",
+        "budgets": {str(k): int(v) for k, v in (budgets or {}).items()},
+        "default_budget": int(default_budget),
+        "domain_col": domain_col,
+        "id_col": id_col,
+    }
+    have_store = _check_store_meta(state_dir, meta)
+    totals_dir = os.path.join(state_dir, "totals")
+
+    # NULL domains are rejected loudly — same contract (and reason) as
+    # the batch operator: the left join below would default them to an
+    # open zero-budget domain, silently deciding for the caller
+    dom_checked = F.when(
+        F.col(domain_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"token_budget_admit_batch: NULL {domain_col} row — fill "
+                "or filter the domain column first"
+            )
+        ),
+    ).otherwise(F.col(domain_col))
+    t = batch.withColumn(domain_col, dom_checked).select(
+        F.col(id_col),
+        F.col(domain_col),
+        _n_tokens_col().alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+        F.col(domain_col).cast("string").alias("__dom"),
+    )
+    w = (
+        Window.partitionBy("__dom")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = t.withColumn("__run", F.sum("n_tokens").over(w))
+
+    prev = None
+    if have_store:
+        st = _read_parquet_if_exists(spark, totals_dir, _TOKEN_BUDGET_STATE_SCHEMA)
+        if st is not None:
+            prev = (
+                st.where(F.col("_stream_batch") != stream_batch)
+                .groupBy("domain")
+                .agg(
+                    F.max_by(
+                        F.struct("cum_tokens", "closed"), "batch_seq"
+                    ).alias("s")
+                )
+                .select(
+                    F.col("domain").alias("__dom"),
+                    F.col("s.cum_tokens").alias("__prev"),
+                    F.col("s.closed").alias("__closed"),
+                )
+            )
+    if prev is None:
+        prev = spark.createDataFrame(
+            [], "__dom string, __prev long, __closed boolean"
+        )
+
+    if budgets:
+        bmap = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+        budget = F.coalesce(
+            F.element_at(bmap, F.col(domain_col)), F.lit(default_budget)
+        )
+    else:
+        budget = F.lit(default_budget)
+    cum = F.coalesce(F.col("__prev"), F.lit(0)) + F.col("__run")
+    closed_before = F.coalesce(F.col("__closed"), F.lit(False))
+    j = (
+        run.join(F.broadcast(prev), "__dom", "left")
+        .withColumn("cum_tokens", cum)
+        .withColumn("__admit", (~closed_before) & (cum <= budget))
+        .withColumn("__over", closed_before | (cum > budget))
+    )
+    # the admitted rows feed the sink; the same frame aggregates to the
+    # per-domain state update — persist so the window runs once
+    j = j.persist()
+    try:
+        (
+            j.where("__admit")
+            .select(id_col, domain_col, "n_tokens", "cum_tokens")
+            .withColumn("_stream_batch", F.lit(stream_batch))
+            .write.partitionBy("_stream_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_state = (
+            j.groupBy("__dom")
+            .agg(
+                F.max(F.when(F.col("__admit"), F.col("cum_tokens"))).alias(
+                    "adm_cum"
+                ),
+                F.max(F.coalesce(F.col("__prev"), F.lit(0))).alias("prev_cum"),
+                F.max(F.col("__over").cast("int")).alias("over"),
+            )
+            .select(
+                F.col("__dom").alias("domain"),
+                F.coalesce("adm_cum", "prev_cum").alias("cum_tokens"),
+                (F.col("over") == 1).alias("closed"),
+                F.lit(int(batch_id)).cast("long").alias("batch_seq"),
+            )
+        )
+        (
+            new_state.withColumn("_stream_batch", F.lit(stream_batch))
+            .write.partitionBy("_stream_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(totals_dir)
+        )
+    finally:
+        j.unpersist()
+
+
+def start_token_budget_admission(
+    doc_feed: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    budgets: dict | None = None,
+    default_budget: int = 0,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    **trigger,
+):
+    """Streaming token-budgeted mixture admission: admit arriving docs
+    per domain until the domain's token budget fills, then close the
+    domain — the in-stream twin of ``operators.sampling
+    .token_budget_sample`` (semantics, state layout, and replay
+    contract on ``token_budget_admit_batch``).  Returns the started
+    StreamingQuery; admitted docs land in ``out_dir`` with their
+    global ``cum_tokens``."""
+    sid = stream_id_for(checkpoint_dir)
+    return (
+        doc_feed.writeStream.foreachBatch(
+            lambda df, bid: token_budget_admit_batch(
+                df,
+                bid,
+                out_dir,
+                state_dir,
+                budgets,
+                default_budget,
+                domain_col,
+                id_col,
+                stream_id=sid,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
 
 
 def _with_minhash_sigs(

@@ -465,3 +465,153 @@ def test_srp_store_scan_bounded_by_touched_buckets(spark, tmp_path):
     got = {r.vec_id for r in spark.read.parquet(out).collect()}
     assert 1000 not in got  # cross-batch suppression through pruned store
     assert 1001 in got
+
+
+# ---------------------------------------------------------------------------
+# In-stream token-budget admission (stream twin of token_budget_sample)
+# ---------------------------------------------------------------------------
+
+
+def _tb_sequential_ref(batches, budgets, default_budget=0):
+    """The admission rule applied batch-by-batch in pure python:
+    arrival order across batches, (md5(id), id) within one; the first
+    overflowing doc closes its domain.  Returns {doc_id: cum_tokens}."""
+    import hashlib
+
+    cum, closed, out = {}, set(), {}
+    for rows in batches:
+        ordered = sorted(
+            rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+        )
+        for doc_id, lang, text in ordered:
+            if lang in closed:
+                continue
+            n = len(text.split()) if text and text.strip() else 0
+            b = budgets.get(lang, default_budget)
+            c = cum.get(lang, 0) + n
+            if c <= b:
+                cum[lang] = c
+                out[doc_id] = c
+            else:
+                closed.add(lang)
+    return out
+
+
+def test_token_budget_stream_matches_sequential_rule(spark, tmp_path):
+    """Multi-batch admission equals the sequential reference, and a
+    doc that would FIT a domain's remaining budget is still excluded
+    once the domain has closed (first-overflow-closes contract)."""
+    from simplepolygon_spark.streaming.feed import start_token_budget_admission
+
+    budgets = {"a": 10, "b": 5}
+    # batch 1: a fills to 8 of 10, b to 3 of 5, c unbudgeted (dropped)
+    b1 = [(0, "a", "w w w w"), (1, "a", "w w w w"), (2, "b", "w w w"), (3, "c", "w")]
+    # batch 2: a overflows (8+5 > 10) -> a CLOSES at 8
+    b2 = [(4, "a", "w w w w w"), (5, "b", "w w")]
+    # batch 3: one token would fit a's remaining 2 -- but a is closed
+    b3 = [(6, "a", "w"), (7, "b", "w")]
+    feed_dir = str(tmp_path / "tbfeed")
+    for rows in (b1, b2, b3):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+        ).coalesce(1).write.mode("append").parquet(feed_dir)
+
+    st = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    out_dir = str(tmp_path / "tbout")
+    q = start_token_budget_admission(
+        st, out_dir, str(tmp_path / "tbstate"), str(tmp_path / "tbckpt"), budgets
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "cum_tokens")
+        .collect()
+    }
+    expect = _tb_sequential_ref([b1, b2, b3], budgets)
+    assert got == expect
+    # scenario really exercises the closed-domain rule: doc 6 fits the
+    # remaining budget (8+1 <= 10) yet is excluded, doc 5 admitted (b=5)
+    assert 6 not in got and expect.get(0) is not None
+    assert got.get(5) == 5 and 7 not in got  # b closed by doc 7? no: 5+1>5
+    assert 3 not in got  # unbudgeted domain drops
+
+
+def test_token_budget_stream_single_batch_equals_batch_operator(spark, tmp_path):
+    """A single-micro-batch stream is bit-for-bit the batch operator
+    (same (md5(id), id) order, same token counts, same budgets)."""
+    from simplepolygon_spark.operators.sampling import token_budget_sample
+    from simplepolygon_spark.streaming.feed import start_token_budget_admission
+
+    rows = [
+        (i, ["a", "b", "c"][i % 3], "tok " * ((i * 7) % 11 + 1))
+        for i in range(60)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    feed_dir = str(tmp_path / "t1feed")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(feed_dir)
+    budgets = {"a": 50, "b": 35, "c": 9999}
+
+    st = spark.readStream.schema("doc_id long, lang string, text string").parquet(
+        feed_dir
+    )
+    out_dir = str(tmp_path / "t1out")
+    q = start_token_budget_admission(
+        st, out_dir, str(tmp_path / "t1state"), str(tmp_path / "t1ckpt"), budgets
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.cum_tokens)
+        for r in spark.read.parquet(out_dir).select("doc_id", "cum_tokens").collect()
+    }
+    exp = {
+        (r.doc_id, r.cum_tokens)
+        for r in token_budget_sample(spark.createDataFrame(pdf), budgets).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_token_budget_batch_replay_and_meta_guard(spark, tmp_path):
+    """Replaying the latest (batch, batch_id) leaves output and state
+    unchanged; resuming the store under different budgets fails loudly."""
+    from simplepolygon_spark.streaming.feed import token_budget_admit_batch
+
+    out_dir = str(tmp_path / "rout")
+    state_dir = str(tmp_path / "rstate")
+    b1 = spark.createDataFrame(
+        [(0, "a", "w w w"), (1, "b", "w w")], "doc_id long, lang string, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "a", "w w"), (3, "b", "w w w w")], "doc_id long, lang string, text string"
+    )
+    budgets = {"a": 5, "b": 3}
+    token_budget_admit_batch(b1, 0, out_dir, state_dir, budgets)
+    token_budget_admit_batch(b2, 1, out_dir, state_dir, budgets)
+
+    def snapshot():
+        out = sorted(
+            (r.doc_id, r.cum_tokens)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        st = sorted(
+            (r.domain, r.cum_tokens, r.closed, r.batch_seq)
+            for r in spark.read.parquet(os.path.join(state_dir, "totals")).collect()
+        )
+        return out, st
+
+    first = snapshot()
+    token_budget_admit_batch(b2, 1, out_dir, state_dir, budgets)  # replay
+    assert snapshot() == first
+    out, st = first
+    assert (0, 3) in out and (1, 2) in out  # batch 1: both fit
+    assert (2, 5) in out  # a: 3+2 = 5 <= 5
+    assert 3 not in {o[0] for o in out}  # b: 2+4 > 3 overflows, excluded
+    assert ("b", 2, True, 1) in st  # ...and the state row records it closed
+    with pytest.raises(ValueError, match="different config|written with config"):
+        token_budget_admit_batch(b2, 2, out_dir, state_dir, {"a": 99})
