@@ -433,6 +433,29 @@ def _q_token_counts_sql():
     """
 
 
+def q_length_percentiles(spark, sf_dir):
+    """Per-language exact token-count percentiles (corpus length report)."""
+    from simplepolygon_spark.operators.text import token_length_percentiles
+
+    return token_length_percentiles(_read(spark, sf_dir, "documents")).orderBy(
+        "lang"
+    )
+
+
+def _q_length_percentiles_sql():
+    qc = "quantile_cont(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), {p})"
+    cols = ",\n               ".join(
+        f"{qc.format(p=p)} AS p{int(p * 100)}"
+        for p in (0.1, 0.25, 0.5, 0.75, 0.9)
+    )
+    return rf"""
+        SELECT lang,
+               {cols},
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY lang
+    """
+
+
 def q_quality(spark, sf_dir):
     """Quality counters (exact integers for engine-portable hashing)."""
     d = _read(spark, sf_dir, "documents")
@@ -1605,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "fingerprints": q_fingerprints,
         "token_counts": q_token_counts,
+        "length_percentiles": q_length_percentiles,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1650,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _q_exact_dedup_sql(),
         "fingerprints": _q_fingerprints_sql(),
         "token_counts": _q_token_counts_sql(),
+        "length_percentiles": _q_length_percentiles_sql(),
         "quality": _q_quality_sql(),
         "lang_id": _q_lang_id_sql(),
         "ngram_jaccard": _q_ngram_jaccard_sql(),

@@ -139,6 +139,7 @@ def main() -> None:
         "minhash_pairs",
         "cosine_topk",
         "token_counts",
+        "length_percentiles",
         "quality",
         "embedding_dups",
         "embedding_dups_lsh",

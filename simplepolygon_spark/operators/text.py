@@ -3,6 +3,8 @@ column expressions (whole-stage codegen; zero Python in the hot path).
 
 Operators a 100 TB training-data pipeline runs per document:
   token_counts   — whitespace tokens + BPE-ish regex piece count
+  token_length_percentiles — per-group exact token-count percentiles
+                   (value→count map state: tiny for integer domains)
   quality_scores — length / punctuation / stopword / upper ratios + score
   lang_id        — marker-n-gram language guess (deterministic heuristic)
   fingerprints   — md5 fingerprint of whitespace/punct-normalized text
@@ -42,6 +44,37 @@ def token_counts(docs: DataFrame) -> DataFrame:
         _null_safe_size(F.split(F.trim("text"), "\\s+")).alias("n_tokens"),
         F.regexp_count("text", F.lit(BPE_PATTERN)).alias("n_pieces"),
     )
+
+
+def token_length_percentiles(
+    docs: DataFrame,
+    probs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9),
+    group_col: str = "lang",
+) -> DataFrame:
+    """(group, p10..p90, n_docs): per-group EXACT linear-interpolation
+    percentiles of the whitespace token count — the corpus
+    length-distribution report a pipeline checks before fixing context
+    lengths and packing windows ("what's the p90 doc length per
+    language?").
+
+    Exact (not approx) percentile is deliberately scale-sane HERE:
+    Spark's ``percentile`` aggregates a value→count map, so per-group
+    state is O(distinct values) — token counts are small integers, so
+    the map stays tiny no matter how many rows stream through (100 TB
+    of docs with counts < 10^6 is a <10^6-entry map per group,
+    map-side combined).  For unbounded-domain doubles use
+    ``approx_percentile`` instead; that trade is the caller's.
+    NULL-text docs have NULL counts and are excluded by the aggregate
+    (both engines), but still show in ``n_docs`` (COUNT(*) row count).
+    Interpolation is the shared a + (b−a)·frac definition, bit-exact
+    vs DuckDB ``quantile_cont`` (gated by q:length_percentiles)."""
+    n_tok = _null_safe_size(F.split(F.trim("text"), "\\s+")).cast("double")
+    tc = docs.select(F.col(group_col), n_tok.alias("__nt"))
+    aggs = [
+        F.percentile("__nt", F.lit(p)).alias(f"p{int(round(p * 100))}")
+        for p in probs
+    ]
+    return tc.groupBy(group_col).agg(*aggs, F.count("*").alias("n_docs"))
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:

@@ -435,3 +435,29 @@ def test_token_budget_sample_null_domain_raises(spark):
     )
     with _pytest.raises(Exception, match="NULL lang"):
         token_budget_sample(docs, {"en": 100}).collect()
+
+
+def test_token_length_percentiles_numpy_and_nulls(spark):
+    """Exact per-group percentiles equal numpy's linear interpolation;
+    NULL-text docs are excluded from the quantile but counted in
+    n_docs; the aggregate is partial (map-side combined), never a
+    single-partition window."""
+    import numpy as np
+
+    from simplepolygon_spark.operators.text import token_length_percentiles
+
+    rows = [(i, "en", "w " * (i + 1)) for i in range(10)]  # 1..10 tokens
+    rows += [(10, "en", None), (11, "de", "a b c"), (12, "de", "a b c d e f g")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r.lang: r.asDict()
+        for r in token_length_percentiles(docs, probs=(0.5, 0.9)).collect()
+    }
+    en = np.arange(1, 11, dtype=float)
+    assert out["en"]["p50"] == np.percentile(en, 50)
+    assert out["en"]["p90"] == np.percentile(en, 90)
+    assert out["en"]["n_docs"] == 11  # NULL text counted in rows
+    assert out["de"]["p50"] == 5.0 and out["de"]["n_docs"] == 2
+
+    plan = token_length_percentiles(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_percentile" in plan, plan[:2000]
