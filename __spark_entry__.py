@@ -1614,6 +1614,86 @@ def _q_token_budget_sql():
     """
 
 
+def q_pipeline_select(spark, sf_dir):
+    """The END-TO-END training-corpus selection (operators/corpus.py):
+    integer-exact quality gate → exact-fingerprint decontamination
+    (benchmark = every 10th doc) → MinHash near-dup canonicalization
+    (keep the longest text per cluster) → per-lang token-budget
+    mixture sample — one lazy Spark plan, verified against ONE DuckDB
+    CTE chain composed of the stages' own proven oracle fragments."""
+    from simplepolygon_spark.operators.corpus import prepare_training_corpus
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 10 == 0).select("text")
+    return prepare_training_corpus(
+        d, bench, {"en": 3000, "de": 2000}, default_budget=1200
+    )
+
+
+def _q_pipeline_select_sql():
+    norm = (
+        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+        " ' +', ' ', 'g')))"
+    )
+    return rf"""
+        WITH RECURSIVE
+        m AS (
+          SELECT doc_id, lang, text,
+                 CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') IS NULL
+                        OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                      ELSE CAST(len(regexp_split_to_array(
+                             regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS INTEGER)
+                 END AS n_tokens,
+                 CAST(length(text) AS INTEGER) AS n_chars,
+                 CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS INTEGER) AS n_punct
+          FROM documents),
+        q AS (SELECT doc_id, lang, text, n_tokens FROM m
+              WHERE n_tokens >= 20 AND n_punct * 100 <= n_chars * 30),
+        bfp AS (SELECT DISTINCT {norm} AS f FROM documents WHERE doc_id % 10 = 0),
+        fp AS (SELECT q.*, {norm} AS f FROM q),
+        d AS (SELECT doc_id, lang, text, n_tokens FROM fp
+              WHERE NOT EXISTS (SELECT 1 FROM bfp b WHERE b.f = fp.f)),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                         i -> substr(lower(text), i, 5))) AS s
+          FROM d),
+        tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        prs AS (SELECT a, b FROM inter
+                JOIN sizes sa ON sa.doc_id = a
+                JOIN sizes sb ON sb.doc_id = b
+                WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        clus AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+        scored AS (
+          SELECT d.doc_id, d.lang, d.n_tokens,
+                 coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                 CAST(length(d.text) AS DOUBLE) AS s
+          FROM d LEFT JOIN clus c ON c.doc_id = d.doc_id),
+        keep AS (SELECT doc_id, lang, n_tokens FROM (
+                   SELECT doc_id, lang, n_tokens,
+                          row_number() OVER (PARTITION BY cluster_id
+                                             ORDER BY s DESC, doc_id ASC) AS rn
+                   FROM scored) WHERE rn = 1),
+        c AS (SELECT doc_id, lang, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM keep)
+        SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        FROM c
+        WHERE cum <= CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 2000 ELSE 1200 END
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "decompose_rings": q_decompose_rings,
@@ -1658,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "tfidf_topk": q_tfidf_topk,
         "token_budget": q_token_budget,
+        "pipeline_select": q_pipeline_select,
     }
 
 
@@ -1705,4 +1786,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _q_asof_join_sql(),
         "tfidf_topk": _q_tfidf_topk_sql(),
         "token_budget": _q_token_budget_sql(),
+        "pipeline_select": _q_pipeline_select_sql(),
     }

@@ -149,6 +149,7 @@ def main() -> None:
         "sessionize",
         "asof_join",
         "tfidf_topk",
+        "pipeline_select",
     ):
         timed(name, lambda name=name: Q[name](spark, sf_dir).count())
 

@@ -1,0 +1,125 @@
+"""End-to-end training-corpus selection — the composed pipeline.
+
+Every stage here exists (and is independently oracle-gated) as its own
+operator; this module is the composition a practitioner actually runs:
+
+    quality gate -> decontamination -> near-dup canonicalization
+                 -> token-budgeted mixture sample
+
+composed as ONE lazy DataFrame chain, so Catalyst pushes the cheap
+integer quality gates into every downstream scan (the MinHash signature
+pass and the verify pass both read only surviving rows) and the whole
+selection is a single plan — no intermediate materialization beyond
+``dup_clusters``' internal iteration checkpoints.
+
+The quality gate is deliberately INTEGER-exact (token count >= min,
+punct*100 <= chars*max_pct as a cross-multiplication) rather than a
+float score threshold: a float gate is one ulp away from
+engine-divergent selection at the boundary, an integer gate never is —
+which is what lets q:pipeline_select verify the WHOLE pipeline against
+a single DuckDB CTE chain, bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import canonicalize_duplicates, minhash_dup_pairs
+from .sampling import (
+    _n_tokens_col,
+    decontaminate,
+    decontaminate_ngrams,
+    token_budget_sample,
+)
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    budgets: dict | None = None,
+    *,
+    min_tokens: int = 20,
+    max_punct_pct: int = 30,
+    threshold: float = 0.8,
+    default_budget: int = 0,
+    ngram_benchmark: DataFrame | None = None,
+    ngram_n: int = 13,
+    id_col: str = "doc_id",
+    domain_col: str = "lang",
+    stage_dir: str | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """(doc_id, domain, n_tokens, cum_tokens): the training selection.
+
+    Stages (each one the already-gated operator, same expressions):
+
+    1. QUALITY GATE — keep docs with ``n_tokens >= min_tokens`` and
+       ``n_punct * 100 <= n_chars * max_punct_pct`` (integer
+       cross-multiplication; NULL text fails the gate in both engines).
+    2. DECONTAMINATION — ``sampling.decontaminate`` (exact normalized-
+       fingerprint anti-join) when ``benchmark`` is given, then
+       ``decontaminate_ngrams`` when ``ngram_benchmark`` is given
+       (mid-document n-gram overlap).
+    3. NEAR-DUP CANONICALIZATION — ``minhash_dup_pairs`` at
+       ``threshold`` over the surviving docs, ``canonicalize_duplicates``
+       keeps the longest text per cluster (ties -> lowest id).
+    4. MIXTURE SAMPLE — ``token_budget_sample`` per ``domain_col``
+       against ``budgets`` (maximal per-domain prefix in (md5(id), id)
+       order).
+
+    Scale: the gates are pure column predicates pushed into every scan;
+    stages 2-4 keep their own documented 100 TB shapes (broadcast
+    benchmark dims, signatures-only shuffles + candidates-only verify,
+    winner aggregate over pair-involved docs, bucketed prefix sum).
+    Composition adds NO new shuffle — the only cross-stage data motion
+    is the left-semi keeper join, which AQE broadcasts (keepers are
+    pair-involved docs plus singletons' ids, an (id)-only projection).
+
+    Whole-pipeline gate: q:pipeline_select runs this against one DuckDB
+    CTE chain composed of the stages' own proven oracle fragments."""
+    n_chars = F.length("text")
+    n_punct = F.regexp_count("text", F.lit("[^a-zA-Z0-9\\s]"))
+    gate = (_n_tokens_col() >= F.lit(min_tokens)) & (
+        n_punct * F.lit(100) <= n_chars * F.lit(max_punct_pct)
+    )
+    d = docs.where(gate)
+    if benchmark is not None:
+        d = decontaminate(d, benchmark)
+    if ngram_benchmark is not None:
+        d = decontaminate_ngrams(d, ngram_benchmark, n=ngram_n, id_col=id_col)
+
+    # Land the cleaned corpus ONCE: the dedup and budget stages scan it
+    # 6+ times between them, and re-deriving it re-runs the regex gates
+    # and fingerprint normalization per scan — regex throughput is well
+    # below parquet scan throughput, so at 100 TB the write pays for
+    # itself from the second downstream scan.  ``stage_dir`` is that
+    # shape (a real pipeline lands each stage to a table);
+    # ``materialize=True`` is the local-session analogue
+    # (localCheckpoint); ``materialize=False`` keeps the fully-lazy
+    # single plan — selection semantics are identical in all three
+    # modes (tested).
+    if stage_dir is not None:
+        d.write.mode("overwrite").parquet(stage_dir)
+        d = docs.sparkSession.read.parquet(stage_dir)
+    elif materialize:
+        d = d.localCheckpoint(eager=True)
+
+    if "_len_score" in d.columns:
+        raise ValueError(
+            "prepare_training_corpus: input already has column _len_score"
+        )
+    scored = d.withColumn("_len_score", n_chars)
+    pairs = minhash_dup_pairs(d, threshold=threshold)
+    canon = canonicalize_duplicates(
+        scored, pairs, score_col="_len_score", id_col=id_col
+    )
+    keepers = canon.where("keep").select(id_col)
+    kept = d.join(keepers, id_col, "left_semi")
+    return token_budget_sample(
+        kept,
+        budgets,
+        default_budget=default_budget,
+        domain_col=domain_col,
+        id_col=id_col,
+    )
