@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import canonicalize_duplicates, minhash_dup_pairs
+from .dedup import duplicate_losers, minhash_dup_pairs
 from .sampling import (
     _n_tokens_col,
     decontaminate,
@@ -73,8 +73,9 @@ def prepare_training_corpus(
     benchmark dims, signatures-only shuffles + candidates-only verify,
     winner aggregate over pair-involved docs, bucketed prefix sum).
     Composition adds NO new shuffle — the only cross-stage data motion
-    is the left-semi keeper join, which AQE broadcasts (keepers are
-    pair-involved docs plus singletons' ids, an (id)-only projection).
+    is the duplicate-drop, a BROADCAST left-anti join against
+    ``duplicate_losers`` (pair-involved docs that lost their cluster —
+    duplicate-count sized, never the corpus-sized keeper set).
 
     Whole-pipeline gate: q:pipeline_select runs this against one DuckDB
     CTE chain composed of the stages' own proven oracle fragments."""
@@ -111,11 +112,12 @@ def prepare_training_corpus(
         )
     scored = d.withColumn("_len_score", n_chars)
     pairs = minhash_dup_pairs(d, threshold=threshold)
-    canon = canonicalize_duplicates(
-        scored, pairs, score_col="_len_score", id_col=id_col
-    )
-    keepers = canon.where("keep").select(id_col)
-    kept = d.join(keepers, id_col, "left_semi")
+    # drop LOSERS (the tiny duplicate-count-sized frame), never
+    # semi-join KEEPERS (nearly the whole corpus — that shape shuffles
+    # the corpus against itself, twice once the budget stage's two
+    # branches each rescan it); the anti side broadcasts
+    losers = duplicate_losers(scored, pairs, score_col="_len_score", id_col=id_col)
+    kept = d.join(F.broadcast(losers), id_col, "left_anti")
     return token_budget_sample(
         kept,
         budgets,

@@ -509,3 +509,26 @@ def test_prepare_training_corpus_stage_semantics(spark, tmp_path):
         assert {(r.doc_id, r.cum_tokens) for r in alt.collect()} == {
             (k, v.cum_tokens) for k, v in got.items()
         }
+
+
+def test_duplicate_losers_complement_canonicalize(spark):
+    """duplicate_losers is exactly canonicalize_duplicates' keep=false
+    set (same winner rule) on a graph with chains, ties, and NULL
+    scores; its plan never builds a corpus-wide frame (inner joins
+    against the cluster map only)."""
+    from simplepolygon_spark.operators.dedup import (
+        canonicalize_duplicates,
+        duplicate_losers,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, None if i == 4 else float(i % 3)) for i in range(10)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (5, 6), (6, 7)], "doc_a long, doc_b long"
+    )
+    canon = canonicalize_duplicates(docs, pairs, score_col="score")
+    expect = {r.doc_id for r in canon.where("NOT keep").collect()}
+    got = {r.doc_id for r in duplicate_losers(docs, pairs, score_col="score").collect()}
+    assert got == expect and len(got) >= 4
