@@ -1458,6 +1458,78 @@ def _split_stream_batch(v: str):
         return None
 
 
+def _fold_keys(vals: list, keep_last: int) -> list:
+    """Which ``_stream_batch`` keys a compaction should fold: everything
+    except the last ``keep_last`` batch ids per stream id (the batches a
+    crashed ``foreachBatch`` may still replay).  ``__compacted`` itself
+    (and any unparseable key) always folds forward."""
+    per_stream: dict[str, list[int]] = {}
+    for v in vals:
+        p = _split_stream_batch(v)
+        if p:
+            per_stream.setdefault(p[0], []).append(p[1])
+    keep = (
+        {
+            f"{sid}x{n}"
+            for sid, ns in per_stream.items()
+            for n in sorted(ns)[-keep_last:]
+        }
+        if keep_last > 0
+        else set()
+    )
+    return [v for v in vals if v not in keep]
+
+
+def compact_token_budget_state(spark, state_dir: str, keep_last: int = 1) -> None:
+    """Maintenance for a token-budget admission store: the totals table
+    accrues one row per (domain, batch) forever — tiny per batch, but a
+    year-long stream over many domains reads an ever-longer table each
+    batch.  Folding keeps only the LATEST row per domain among the
+    folded batches (``max_by(batch_seq)``, exactly the read rule) in a
+    single ``__compacted`` partition, original ``batch_seq`` retained
+    so latest-per-domain ordering still holds against live batches.
+
+    Same single-writer contract as ``compact_signature_store``: run
+    only while the stream is stopped, ``keep_last`` newest batches per
+    stream id stay un-folded (default 1) so a replaying batch can still
+    exclude its own prior attempt's partition."""
+    import shutil
+
+    path = os.path.join(state_dir, "totals")
+    if not os.path.isdir(path):
+        return
+    df = _read_parquet_if_exists(spark, path, _TOKEN_BUDGET_STATE_SCHEMA)
+    if df is None:
+        return
+    vals = [r._stream_batch for r in df.select("_stream_batch").distinct().collect()]
+    fold = _fold_keys(vals, keep_last)
+    if not fold or fold == ["__compacted"]:
+        return
+    folded = (
+        df.where(F.col("_stream_batch").isin(fold))
+        .groupBy("domain")
+        .agg(
+            F.max_by(
+                F.struct("cum_tokens", "closed", "batch_seq"), "batch_seq"
+            ).alias("s")
+        )
+        .select(
+            "domain",
+            F.col("s.cum_tokens").alias("cum_tokens"),
+            F.col("s.closed").alias("closed"),
+            F.col("s.batch_seq").alias("batch_seq"),
+        )
+        .withColumn("_stream_batch", F.lit("__compacted"))
+    )
+    out = folded.unionByName(df.where(~F.col("_stream_batch").isin(fold))).coalesce(1)
+    tmp = path + ".__compact_tmp"
+    out.write.partitionBy("_stream_batch").mode("overwrite").parquet(tmp)
+    bak = path + ".__compact_old"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+
+
 def compact_signature_store(spark, state_dir: str, keep_last: int = 1) -> None:
     """Maintenance for a bucketed near-dedup store: fold accumulated
     per-batch partition files into one ``__compacted`` partition per
@@ -1495,21 +1567,7 @@ def compact_signature_store(spark, state_dir: str, keep_last: int = 1) -> None:
                 # pairs log from a duplicate-free stream) — nothing to fold
             raise
         vals = [r._stream_batch for r in df.select("_stream_batch").distinct().collect()]
-        per_stream: dict[str, list[int]] = {}
-        for v in vals:
-            p = _split_stream_batch(v)
-            if p:
-                per_stream.setdefault(p[0], []).append(p[1])
-        keep = (
-            {
-                f"{sid}x{n}"
-                for sid, ns in per_stream.items()
-                for n in sorted(ns)[-keep_last:]
-            }
-            if keep_last > 0
-            else set()
-        )
-        fold = [v for v in vals if v not in keep]
+        fold = _fold_keys(vals, keep_last)
         if not fold or fold == ["__compacted"]:
             continue
         out = (

@@ -615,3 +615,47 @@ def test_token_budget_batch_replay_and_meta_guard(spark, tmp_path):
     assert ("b", 2, True, 1) in st  # ...and the state row records it closed
     with pytest.raises(ValueError, match="different config|written with config"):
         token_budget_admit_batch(b2, 2, out_dir, state_dir, {"a": 99})
+
+
+def test_token_budget_state_compaction_preserves_admission(spark, tmp_path):
+    """Folding the totals table to latest-per-domain changes neither the
+    store's row count direction (it shrinks) nor any later admission
+    decision (compacted vs uncompacted twin stores admit identically)."""
+    from simplepolygon_spark.streaming.feed import (
+        compact_token_budget_state,
+        token_budget_admit_batch,
+    )
+
+    budgets = {"a": 12, "b": 6}
+    batches = [
+        [(0, "a", "w w w"), (1, "b", "w w")],
+        [(2, "a", "w w w w"), (3, "b", "w w w")],
+        [(4, "a", "w w"), (5, "b", "w")],
+    ]
+    dirs = {}
+    for tag in ("c", "u"):
+        out_dir = str(tmp_path / f"{tag}out")
+        state_dir = str(tmp_path / f"{tag}state")
+        dirs[tag] = (out_dir, state_dir)
+        for bid, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+            token_budget_admit_batch(df, bid, out_dir, state_dir, budgets)
+
+    c_out, c_state = dirs["c"]
+    totals = os.path.join(c_state, "totals")
+    before = spark.read.parquet(totals).count()
+    compact_token_budget_state(spark, c_state, keep_last=1)
+    after_df = spark.read.parquet(totals)
+    assert after_df.count() < before
+    assert "__compacted" in {r._stream_batch for r in after_df.select("_stream_batch").distinct().collect()}
+
+    # batch 4 admits identically on both stores
+    b4 = [(6, "a", "w w w"), (7, "b", "w")]
+    for tag in ("c", "u"):
+        out_dir, state_dir = dirs[tag]
+        df = spark.createDataFrame(b4, "doc_id long, lang string, text string")
+        token_budget_admit_batch(df, 3, out_dir, state_dir, budgets)
+    read = lambda o: sorted(
+        (r.doc_id, r.cum_tokens) for r in spark.read.parquet(o).collect()
+    )
+    assert read(dirs["c"][0]) == read(dirs["u"][0])
