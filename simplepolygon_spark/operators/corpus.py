@@ -6,11 +6,11 @@ operator; this module is the composition a practitioner actually runs:
     quality gate -> decontamination -> near-dup canonicalization
                  -> token-budgeted mixture sample
 
-composed as ONE lazy DataFrame chain, so Catalyst pushes the cheap
-integer quality gates into every downstream scan (the MinHash signature
-pass and the verify pass both read only surviving rows) and the whole
-selection is a single plan — no intermediate materialization beyond
-``dup_clusters``' internal iteration checkpoints.
+with the cleaned corpus (gates + decontamination) LANDED exactly once
+before the dedup and budget stages (which scan it 6+ times between
+them), and every stage keeping its own documented 100 TB plan shape.
+A fully-lazy single-plan mode is kept (``materialize=False``) and
+tested selection-identical.
 
 The quality gate is deliberately INTEGER-exact (token count >= min,
 punct*100 <= chars*max_pct as a cross-multiplication) rather than a
@@ -62,8 +62,10 @@ def prepare_training_corpus(
        ``decontaminate_ngrams`` when ``ngram_benchmark`` is given
        (mid-document n-gram overlap).
     3. NEAR-DUP CANONICALIZATION — ``minhash_dup_pairs`` at
-       ``threshold`` over the surviving docs, ``canonicalize_duplicates``
-       keeps the longest text per cluster (ties -> lowest id).
+       ``threshold`` over the surviving docs; the cluster keeper is the
+       longest text (ties -> lowest id), enforced by anti-joining the
+       ``duplicate_losers`` complement (same winner rule as
+       ``canonicalize_duplicates``, pinned equal by test).
     4. MIXTURE SAMPLE — ``token_budget_sample`` per ``domain_col``
        against ``budgets`` (maximal per-domain prefix in (md5(id), id)
        order).
