@@ -532,3 +532,34 @@ def test_duplicate_losers_complement_canonicalize(spark):
     expect = {r.doc_id for r in canon.where("NOT keep").collect()}
     got = {r.doc_id for r in duplicate_losers(docs, pairs, score_col="score").collect()}
     assert got == expect and len(got) >= 4
+
+
+def test_prepare_training_corpus_ngram_mode(spark):
+    """ngram_benchmark drops a doc whose contamination is embedded
+    mid-page (whole-text fingerprint differs), which exact mode keeps."""
+    from simplepolygon_spark.operators.corpus import prepare_training_corpus
+
+    bench_span = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                  "lambda mu nu")  # 13 tokens
+    clean = ("completely unrelated body with plenty of ordinary words to "
+             "clear the quality gate and some more filler to be safe here")
+    contaminated = "prefix words here " + bench_span + " suffix words there"
+    docs = spark.createDataFrame(
+        [(1, "en", clean), (2, "en", contaminated)],
+        "doc_id long, lang string, text string",
+    )
+    bench = spark.createDataFrame([(bench_span,)], "text string")
+    # exact mode: the mid-page contamination survives
+    got_exact = {
+        r.doc_id
+        for r in prepare_training_corpus(docs, bench, {"en": 10_000}).collect()
+    }
+    assert got_exact == {1, 2}
+    # n-gram mode: it drops
+    got_ngram = {
+        r.doc_id
+        for r in prepare_training_corpus(
+            docs, bench, {"en": 10_000}, ngram_benchmark=bench, ngram_n=13
+        ).collect()
+    }
+    assert got_ngram == {1}
