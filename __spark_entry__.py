@@ -1110,6 +1110,56 @@ def _q_dup_clusters_sql():
     """
 
 
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/eval split: the split key is the doc's
+    near-dup CLUSTER id (connected component of the verified MinHash
+    pair graph; singletons key on their own id), so near-duplicates can
+    never straddle the train/eval boundary — the failure mode of the
+    naive per-doc hash split.  Assignment is md5(seed:cluster_id)
+    compared against a fixed hex threshold; the oracle recomputes the
+    clusters with a recursive CTE and applies the bit-identical rule."""
+    from simplepolygon_spark.operators.dedup import minhash_dup_pairs
+    from simplepolygon_spark.operators.sampling import leakage_safe_split
+
+    d = _read(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return (
+        leakage_safe_split(
+            d,
+            minhash_dup_pairs(d, threshold=0.8, rebalance=par),
+            weights={"train": 0.9, "eval": 0.1},
+        )
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _q_leakage_split_sql():
+    from simplepolygon_spark.operators.sampling import split_hex_threshold
+
+    t_train = split_hex_threshold(0.9)
+    return f"""
+        WITH RECURSIVE pairs AS ({_q_minhash_sql()}),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION ALL
+                  SELECT doc_b AS a, doc_a AS b FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+        ),
+        clus AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+        wc AS (
+          SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id)
+        SELECT doc_id, cluster_id,
+               CASE WHEN md5('split:' || CAST(cluster_id AS VARCHAR)) < '{t_train}'
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM wc
+    """
+
+
 def q_simhash(spark, sf_dir):
     """SimHash banded near-dup pairs at max_hamming=3: with 4 bands of
     16 bits, hamming ≤ 3 pigeonholes at least one band intact, so the
@@ -1728,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "minhash_pairs": q_minhash_pairs,
         "dup_clusters": q_dup_clusters,
+        "leakage_split": q_leakage_split,
         "simhash": q_simhash,
         "crosswalk": q_crosswalk,
         "crosswalk_relational": q_crosswalk_relational,
@@ -1776,6 +1827,7 @@ def oracle_sql() -> dict[str, str]:
         "decompose_rings": _q_decompose_rings_sql(),
         "minhash_pairs": _q_minhash_sql(),
         "dup_clusters": _q_dup_clusters_sql(),
+        "leakage_split": _q_leakage_split_sql(),
         "simhash": _q_simhash_sql(),
         "crosswalk": _q_crosswalk_sql(),
         "crosswalk_relational": _q_crosswalk_sql(),

@@ -23,6 +23,10 @@
       page, which whole-document fingerprinting misses.  Benchmark
       n-grams broadcast; the train side explodes into a broadcast
       semi-join (no gram shuffle).
+  leakage_safe_split — deterministic train/eval/... assignment keyed
+      on the doc's NEAR-DUP CLUSTER (not the doc), so near-duplicates
+      never straddle a split boundary — the leakage-safe version of
+      the hash split every training pipeline ends with.
 """
 
 from __future__ import annotations
@@ -343,3 +347,79 @@ def decontaminate_ngrams(
     # |benchmark| — a forced broadcast could OOM the driver on a
     # heavily-contaminated corpus
     return train.join(contaminated, id_col, "left_anti")
+
+
+def split_hex_threshold(frac: float) -> str:
+    """32-hex-digit string t with P[md5(x) < t] == frac for uniform
+    md5, so a lexicographic compare against t buckets exactly ``frac``
+    of the hash space.  Shared by ``leakage_safe_split`` and its SQL
+    oracle so both engines use the bit-identical literal; only valid
+    for 0 <= frac < 1 (the last bucket is the CASE's ELSE arm — a
+    frac=1.0 threshold would be 33 digits and lexicographic compare
+    breaks on unequal lengths)."""
+    if not (0.0 <= frac < 1.0):
+        raise ValueError(f"split_hex_threshold: frac must be in [0, 1), got {frac}")
+    return format(int(frac * (1 << 128)), "032x")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: "dict[str, float] | None" = None,
+    seed: str = "split",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every doc a train/eval/... split such that NEAR-DUPLICATES
+    NEVER STRADDLE A SPLIT BOUNDARY: the split key is the doc's near-dup
+    cluster id (connected component of the ``pairs`` graph, singletons
+    keyed by their own id), not the doc id.  Splitting by doc hash —
+    the naive rule — leaks eval content into train whenever a near-dup
+    pair lands on opposite sides; splitting by cluster makes that
+    impossible by construction.
+
+    Assignment is a pure deterministic function of (seed, cluster_id):
+    md5(seed:cluster_id) compared lexicographically against fixed
+    hex thresholds (``split_hex_threshold``), so re-runs, engines, and
+    the DuckDB oracle agree bit-for-bit and fractions converge to
+    ``weights`` at CLUSTER granularity (md5 uniformity).  ``weights``
+    is an ordered name→fraction mapping summing to 1 (default 90/10
+    train/eval).
+
+    Plan shape at 100 TB: ``dup_clusters(pairs)`` touches only
+    pair-involved docs — duplicate-count sized, typically orders of
+    magnitude under the corpus — and joins back to the corpus as a
+    plain equi-join AQE broadcasts when small; the hash + threshold
+    CASE is per-row JVM expression work with no extra shuffle.  The
+    corpus is scanned once.
+    """
+    from .dedup import dup_clusters
+
+    if weights is None:
+        weights = {"train": 0.9, "eval": 0.1}
+    if len(weights) < 2:
+        raise ValueError("leakage_safe_split: need at least two splits")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"leakage_safe_split: weights sum to {total}, expected 1.0")
+    for c in ("cluster_id", "split"):
+        if c in docs.columns:
+            raise ValueError(f"leakage_safe_split: input already has column {c}")
+
+    clusters = dup_clusters(pairs)
+    if id_col != "doc_id":
+        clusters = clusters.withColumnRenamed("doc_id", id_col)
+    withc = docs.join(clusters, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col("cluster_id").cast("string")))
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    # CASE h < t1 THEN s1 WHEN h < t2 THEN s2 ... ELSE s_last — the
+    # final bucket is the ELSE arm (no frac=1.0 threshold exists)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = h < F.lit(split_hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return withc.withColumn("split", expr.otherwise(names[-1]))

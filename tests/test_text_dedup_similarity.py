@@ -543,7 +543,11 @@ def test_prepare_training_corpus_ngram_mode(spark):
                   "lambda mu nu")  # 13 tokens
     clean = ("completely unrelated body with plenty of ordinary words to "
              "clear the quality gate and some more filler to be safe here")
-    contaminated = "prefix words here " + bench_span + " suffix words there"
+    # 4 + 13 + 4 = 21 tokens: must CLEAR the min_tokens=20 quality gate
+    # so the assertion exercises decontamination, not the gate
+    contaminated = (
+        "ordinary prefix words here " + bench_span + " plain suffix words there"
+    )
     docs = spark.createDataFrame(
         [(1, "en", clean), (2, "en", contaminated)],
         "doc_id long, lang string, text string",
