@@ -97,6 +97,35 @@ def decompose_geojson(
     drops).  Callers needing per-input-row outputs must supply unique
     ids — exactly what a per-row uuid column gives for free.
     """
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    # the Arrow kernel's schema pins polygon_id to string
+    # (POLYGONS_SCHEMA); a non-string id would otherwise surface as an
+    # opaque worker-side ArrowTypeError.  Integral/boolean ids
+    # round-trip a string cast exactly, so convert around the kernel
+    # and restore the caller's type on output; anything else (float,
+    # struct, ...) is rejected loudly here instead of deep in a task.
+    id_type = df.schema[id_col].dataType
+    restore_type = None
+    if not isinstance(id_type, StringType):
+        if not isinstance(
+            id_type, (ByteType, ShortType, IntegerType, LongType, BooleanType)
+        ):
+            raise TypeError(
+                f"decompose_geojson: id column {id_col!r} must be string or "
+                f"integral (kernel id type is string; a "
+                f"{id_type.simpleString()} id does not round-trip the cast)"
+            )
+        restore_type = id_type
+        df = df.withColumn(id_col, F.col(id_col).cast("string"))
+
     parsed = parse_geojson_features(df, geojson_col, id_col)
     # decompose_polygons' kernel schema fixes the id column name to
     # polygon_id — rename around it so any id_col works
@@ -167,4 +196,7 @@ def decompose_geojson(
     # groupBy shuffles only the (small) ring layer; the alternative —
     # buffering across mapInPandas batches — would silently break on a
     # >maxRecordsPerBatch polygon, so correctness wins the shuffle here
-    return rings_out.groupBy(id_col).applyInPandas(assemble, schema)
+    out = rings_out.groupBy(id_col).applyInPandas(assemble, schema)
+    if restore_type is not None:
+        out = out.withColumn(id_col, F.col(id_col).cast(restore_type))
+    return out

@@ -91,3 +91,35 @@ def test_geojson_validation_errors(spark):
 
     with pytest.raises(Exception, match="type Feature"):
         parse_geojson_features(df).collect()
+
+
+def test_integral_id_round_trips_and_bad_id_type_rejected(spark):
+    """The Arrow kernel pins polygon_id to string; an integral id must
+    be cast around the kernel and come back in the CALLER'S type, and a
+    non-round-trippable id type must fail loudly at plan time, not as a
+    worker-side ArrowTypeError."""
+    import pytest
+
+    feature = {
+        "type": "Feature",
+        "properties": {},
+        "geometry": {
+            "type": "Polygon",
+            "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]],
+        },
+    }
+    df = spark.createDataFrame(
+        [(7, json.dumps(feature))], "polygon_id long, geojson string"
+    )
+    out = decompose_geojson(df)
+    assert out.schema["polygon_id"].dataType.simpleString() == "bigint"
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].polygon_id == 7
+    fc = json.loads(rows[0].feature_collection)
+    assert len(fc["features"]) == 1
+
+    bad = spark.createDataFrame(
+        [(1.5, json.dumps(feature))], "polygon_id double, geojson string"
+    )
+    with pytest.raises(TypeError, match="must be string or integral"):
+        decompose_geojson(bad)
