@@ -433,6 +433,53 @@ def _q_token_counts_sql():
     """
 
 
+def q_chunks(spark, sf_dir):
+    """Sliding context-window chunking (max_tokens=32, overlap=8): every
+    doc splits into windows of ≤32 whitespace tokens with stride 24 —
+    the step before embedding or fixed-window training.  One scan, no
+    shuffle (explode of a per-row index sequence); the oracle
+    reproduces the windows with the same integer-exact chunk-count rule
+    and inclusive 1-based list slicing."""
+    from simplepolygon_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"), max_tokens=32, overlap=8
+    ).orderBy("doc_id", "chunk_index")
+
+
+def _q_chunks_sql(max_tokens: int = 32, overlap: int = 8):
+    stride = max_tokens - overlap
+    return rf"""
+        WITH base AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+          WHERE text IS NOT NULL AND trim(text) != ''
+        ),
+        counted AS (
+          SELECT doc_id, toks,
+                 CASE WHEN len(toks) <= {max_tokens} THEN 1
+                      ELSE CAST(floor((len(toks) - {max_tokens}
+                                       + {stride - 1}) / {stride}.0)
+                               AS BIGINT) + 1 END AS nc
+          FROM base
+        ),
+        expanded AS (
+          SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_index
+          FROM counted
+        )
+        SELECT doc_id, chunk_index,
+               array_to_string(
+                 toks[CAST(chunk_index * {stride} + 1 AS INT)
+                      :CAST(chunk_index * {stride} + {max_tokens} AS INT)],
+                 ' ') AS chunk_text,
+               CAST(len(
+                 toks[CAST(chunk_index * {stride} + 1 AS INT)
+                      :CAST(chunk_index * {stride} + {max_tokens} AS INT)])
+                 AS INTEGER) AS n_tokens
+        FROM expanded
+    """
+
+
 def q_length_percentiles(spark, sf_dir):
     """Per-language exact token-count percentiles (corpus length report)."""
     from simplepolygon_spark.operators.text import token_length_percentiles
@@ -1758,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "fingerprints": q_fingerprints,
         "token_counts": q_token_counts,
+        "chunks": q_chunks,
         "length_percentiles": q_length_percentiles,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -1806,6 +1854,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _q_exact_dedup_sql(),
         "fingerprints": _q_fingerprints_sql(),
         "token_counts": _q_token_counts_sql(),
+        "chunks": _q_chunks_sql(),
         "length_percentiles": _q_length_percentiles_sql(),
         "quality": _q_quality_sql(),
         "lang_id": _q_lang_id_sql(),

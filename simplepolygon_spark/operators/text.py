@@ -9,6 +9,9 @@ Operators a 100 TB training-data pipeline runs per document:
   lang_id        — marker-n-gram language guess (deterministic heuristic)
   fingerprints   — md5 fingerprint of whitespace/punct-normalized text
                    (md5 chosen for engine-portable oracles)
+  chunk_documents — sliding context-window chunks (max_tokens, overlap)
+                   of every doc: the step before embedding/packing;
+                   pure explode of a per-row index sequence, no shuffle
 """
 
 from __future__ import annotations
@@ -234,4 +237,65 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         .withColumn(
             "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), "ngram"))
         )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_index, chunk_text, n_tokens): sliding
+    context-window chunks of every document — the mandatory step before
+    embedding or fixed-window training when documents exceed the model
+    context.  Chunk ``i`` covers whitespace tokens
+    ``[i*stride, i*stride + max_tokens)`` with ``stride = max_tokens -
+    overlap``; the last chunk is the first one whose window reaches the
+    end of the doc, so every token lands in ≥1 chunk and consecutive
+    chunks share exactly ``overlap`` tokens (except a shorter tail).
+
+    Determinism/parity: tokens are ``split(trim(text), '\\s+')`` — the
+    same tokenizer as ``token_counts`` — and the chunk count uses
+    integer-exact arithmetic (``floor((n - max_tokens + stride - 1) /
+    stride) + 1``), so the DuckDB oracle reproduces chunks
+    bit-for-bit.  NULL and whitespace-only texts produce NO chunks (a
+    chunker has nothing to embed; documented, tested).
+
+    Scale: one scan, zero shuffle — the index sequence is a per-row
+    array explode (rows multiply by ~n/stride, bytes by ~max/stride
+    due to overlap); everything is JVM expression work.  Chunk output
+    is bigger than its input by construction — land it, don't
+    recompute it per consumer."""
+    if not (0 <= overlap < max_tokens):
+        raise ValueError(
+            f"chunk_documents: need 0 <= overlap < max_tokens, got "
+            f"overlap={overlap}, max_tokens={max_tokens}"
+        )
+    stride = max_tokens - overlap
+    toks = F.split(F.trim("text"), r"\s+")
+    base = docs.where(
+        F.col("text").isNotNull() & (F.trim("text") != F.lit(""))
+    ).select(id_col, toks.alias("__toks"))
+    n = F.size("__toks")
+    # exact for any real doc length (double division is exact < 2^52)
+    n_chunks = F.when(n <= F.lit(max_tokens), F.lit(1).cast("long")).otherwise(
+        F.floor((n - F.lit(max_tokens) + F.lit(stride - 1)) / F.lit(stride))
+        + F.lit(1)
+    )
+    idx = base.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_index"
+        ),
+    )
+    piece = F.slice(
+        "__toks", (F.col("chunk_index") * stride + 1).cast("int"), max_tokens
+    )
+    return idx.select(
+        F.col(id_col),
+        "chunk_index",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
     )
