@@ -480,6 +480,91 @@ def _q_chunks_sql(max_tokens: int = 32, overlap: int = 8):
     """
 
 
+# identical planted-PII expression for both engines: `||` is
+# NULL-propagating in Spark AND DuckDB (concat() is not — DuckDB's
+# skips NULL args), CAST AS STRING and lpad agree in both
+_PII_PLANT_EXPR = """text || CASE doc_id % 4
+    WHEN 0 THEN ' contact u' || CAST(doc_id AS STRING) || '@ex-ample.com for info'
+    WHEN 1 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' now'
+    WHEN 2 THEN ' node 10.0.' || CAST(doc_id % 256 AS STRING) || '.7 up'
+    ELSE '' END"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (emails / phones / bare IPv4 → typed placeholders,
+    plus the per-doc match count a compliance audit wants).  The corpus
+    is synthetic, so PII is PLANTED deterministically inside the query
+    by the shared ``_PII_PLANT_EXPR`` — one address/phone/IP shape per
+    doc_id%4 class — and the oracle replants with the byte-identical
+    expression, making the hash check a real Java-vs-RE2 regex-parity
+    gate on ``redact_pii``'s shipped rules."""
+    from simplepolygon_spark.operators.text import redact_pii
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_PLANT_EXPR).alias("text")
+    )
+    return redact_pii(d).select("doc_id", "text_redacted", "n_pii").orderBy("doc_id")
+
+
+def _q_pii_redact_sql():
+    from simplepolygon_spark.operators.text import PII_RULES
+
+    red = "planted"
+    counts = []
+    for _, pat, rep in PII_RULES:
+        lit = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{lit}', '{rep}', 'g')"
+        counts.append(f"len(regexp_extract_all(planted, '{lit}'))")
+    n = " + ".join(counts)
+    return f"""
+        WITH p AS (
+          SELECT doc_id, {_PII_PLANT_EXPR} AS planted FROM documents
+        )
+        SELECT doc_id,
+               {red} AS text_redacted,
+               CASE WHEN planted IS NULL THEN 0
+                    ELSE CAST({n} AS INTEGER) END AS n_pii
+        FROM p
+    """
+
+
+def q_shuffle_export(spark, sf_dir):
+    """Deterministic global corpus shuffle + shard export order: seeded
+    md5 shuffle key, uniform hash shard, ordinal position within the
+    shard — the reproducible "shuffle the corpus, write N shards" step
+    a training run consumes.  The oracle recomputes key/shard/pos with
+    the bit-identical rules (hex-prefix → int agrees between Spark's
+    conv() and DuckDB's '0x' cast; 60 bits keeps both signed-safe)."""
+    from simplepolygon_spark.operators.sampling import shuffle_shards
+
+    return (
+        shuffle_shards(_read(spark, sf_dir, "documents"), n_shards=8)
+        .select("doc_id", "shuffle_key", "shard", "pos")
+        .orderBy("doc_id")
+    )
+
+
+def _q_shuffle_export_sql():
+    return """
+        WITH k AS (
+          SELECT doc_id,
+                 md5('shuffle:' || CAST(doc_id AS STRING)) AS shuffle_key
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, shuffle_key,
+                 CAST(('0x' || substr(shuffle_key, 1, 15))::BIGINT % 8 AS INT)
+                   AS shard
+          FROM k
+        )
+        SELECT doc_id, shuffle_key, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                                       ORDER BY shuffle_key, doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM s
+    """
+
+
 def q_length_percentiles(spark, sf_dir):
     """Per-language exact token-count percentiles (corpus length report)."""
     from simplepolygon_spark.operators.text import token_length_percentiles
@@ -1806,6 +1891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "token_counts": q_token_counts,
         "chunks": q_chunks,
+        "pii_redact": q_pii_redact,
+        "shuffle_export": q_shuffle_export,
         "length_percentiles": q_length_percentiles,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -1855,6 +1942,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _q_fingerprints_sql(),
         "token_counts": _q_token_counts_sql(),
         "chunks": _q_chunks_sql(),
+        "pii_redact": _q_pii_redact_sql(),
+        "shuffle_export": _q_shuffle_export_sql(),
         "length_percentiles": _q_length_percentiles_sql(),
         "quality": _q_quality_sql(),
         "lang_id": _q_lang_id_sql(),

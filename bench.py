@@ -141,6 +141,8 @@ def main() -> None:
         "token_counts",
         "length_percentiles",
         "quality",
+        "pii_redact",
+        "shuffle_export",
         "embedding_dups",
         "embedding_dups_lsh",
         "ngram_jaccard_lsh",

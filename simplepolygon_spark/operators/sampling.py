@@ -27,6 +27,11 @@
       on the doc's NEAR-DUP CLUSTER (not the doc), so near-duplicates
       never straddle a split boundary — the leakage-safe version of
       the hash split every training pipeline ends with.
+  shuffle_shards    — deterministic global corpus shuffle + shard
+      assignment (the "shuffle before training" export step): every
+      doc gets a seeded md5 shuffle key, a hash shard, and its ordinal
+      position within the shard — re-runs and engines agree
+      bit-for-bit, and the shard writer's sort is the only shuffle.
 """
 
 from __future__ import annotations
@@ -423,3 +428,55 @@ def leakage_safe_split(
         cond = h < F.lit(split_hex_threshold(cum))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return withc.withColumn("split", expr.otherwise(names[-1]))
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    seed: str = "shuffle",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment — the
+    "shuffle the corpus, then write N shard files" step every training
+    run starts from.  Each row gets:
+
+      shuffle_key — md5(seed:id), the reproducible random order
+      shard       — pmod(first 60 bits of the key, n_shards): a
+                    uniform hash shard, NOT a range of the sorted
+                    order, so assignment needs no global sort and no
+                    sampling pass
+      pos         — the row's ordinal within its shard in shuffle_key
+                    order (ties broken by id), i.e. exactly the order
+                    a shard writer would emit
+
+    Determinism is the point: a re-run, a different engine, or the
+    DuckDB oracle produce byte-identical (shard, pos) for every doc,
+    so a training job can cite "shard 3, positions 0-1M" as a stable
+    data address.
+
+    Plan shape at 100 TB: one shuffle, hash-partitioned on ``shard``
+    (md5-uniform, skew-free by construction), then a per-shard
+    ORDER BY inside the window — Spark's window sort spills, and with
+    n_shards in the thousands (vs 8 here for the small-SF oracle) each
+    shard is a few tens of GB: the standard shard-writer profile.  The
+    key/shard expressions are per-row JVM codegen; nothing touches the
+    driver.
+    """
+    if n_shards < 1:
+        raise ValueError(f"shuffle_shards: n_shards must be >= 1, got {n_shards}")
+    for c in ("shuffle_key", "shard", "pos"):
+        if c in docs.columns:
+            raise ValueError(f"shuffle_shards: input already has column {c}")
+
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    # first 15 hex digits = 60 bits: fits signed 64-bit in both Spark
+    # (conv -> string -> bigint) and the DuckDB oracle ('0x..'::BIGINT)
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint"), F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        docs.withColumn("shuffle_key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint") - 1)
+    )

@@ -299,3 +299,47 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).alias("n_tokens"),
     )
+
+
+# (name, pattern, replacement) — applied in ORDER: emails first so an
+# address's dotted domain can't be half-eaten by the IP rule.  Patterns
+# stay inside the regex subset Java (Spark) and RE2 (DuckDB oracle)
+# implement identically: character classes, bounded repeats, \b ASCII
+# word boundaries; no lookaround, no backrefs.
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``text_redacted`` (every ``PII_RULES`` match replaced by its
+    placeholder, rules applied in order) and ``n_pii`` (total matches,
+    counted per rule on the ORIGINAL text — the audit number a
+    compliance report wants, independent of replacement order).  The
+    scrub-before-training step for emails / phone numbers / bare IPs.
+
+    NULL text passes through (NULL out, 0 matches).  Idempotent: the
+    placeholders contain no '@', '+d-' or dotted-quad shapes, so a
+    second pass is a no-op (tested).
+
+    Scale: pure per-row regexp expression work — one scan, zero
+    shuffle, whole-stage codegen; counting re-reads the same string in
+    cache.  Patterns are anchored to the Java∩RE2 common subset so the
+    DuckDB oracle reproduces both columns bit-for-bit.
+    """
+    for c in ("text_redacted", "n_pii"):
+        if c in docs.columns:
+            raise ValueError(f"redact_pii: input already has column {c}")
+    red = F.col(text_col)
+    for _, pat, rep in PII_RULES:
+        red = F.regexp_replace(red, F.lit(pat), F.lit(rep))
+    n = None
+    for _, pat, _ in PII_RULES:
+        cnt = F.regexp_count(F.col(text_col), F.lit(pat))
+        n = cnt if n is None else n + cnt
+    n = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(n)
+    return docs.withColumn("text_redacted", red).withColumn(
+        "n_pii", n.cast("int")
+    )
