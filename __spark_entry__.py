@@ -565,6 +565,59 @@ def _q_shuffle_export_sql():
     """
 
 
+def q_adaptive_filter(spark, sf_dir):
+    """Adaptive per-language length gate: drop each language's shortest
+    10% of docs, threshold = the group's EXACT 0.1 percentile of the
+    whitespace token count (bit-identical interpolation in Spark
+    `percentile` and DuckDB `quantile_cont`).  The corpus never
+    shuffles — the tiny per-group floor frame broadcast-joins back."""
+    from simplepolygon_spark.operators.text import adaptive_length_filter
+
+    return (
+        adaptive_length_filter(_read(spark, sf_dir, "documents"), frac=0.1)
+        .select("doc_id", "lang", F.col("n_tokens").cast("int").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_adaptive_filter_sql():
+    return r"""
+        WITH tc AS (
+          SELECT doc_id, lang,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+                   AS n_tokens
+          FROM documents
+        ),
+        floors AS (
+          SELECT lang, quantile_cont(n_tokens, 0.1) AS floor_tok
+          FROM tc GROUP BY lang
+        )
+        SELECT tc.doc_id, tc.lang, CAST(tc.n_tokens AS INTEGER) AS n_tokens
+        FROM tc JOIN floors ON tc.lang = floors.lang
+        WHERE tc.n_tokens >= floors.floor_tok
+    """
+
+
+def q_mix_report(spark, sf_dir):
+    """Corpus-mixture report: doc counts + character totals per
+    (lang, source) with ALL ROLLUP subtotal levels in one single-pass
+    aggregation (collapsed dims are NULL — the standard SQL contract
+    both engines share).  Integer aggregates keep it engine-exact."""
+    from simplepolygon_spark.operators.corpus import mix_report
+
+    return mix_report(_read(spark, sf_dir, "documents")).orderBy(
+        "lang", "source"
+    )
+
+
+def _q_mix_report_sql():
+    return """
+        SELECT lang, source, count(*) AS n_docs,
+               sum(len(text)) AS total_chars
+        FROM documents GROUP BY ROLLUP (lang, source)
+    """
+
+
 def q_length_percentiles(spark, sf_dir):
     """Per-language exact token-count percentiles (corpus length report)."""
     from simplepolygon_spark.operators.text import token_length_percentiles
@@ -1893,6 +1946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks": q_chunks,
         "pii_redact": q_pii_redact,
         "shuffle_export": q_shuffle_export,
+        "adaptive_filter": q_adaptive_filter,
+        "mix_report": q_mix_report,
         "length_percentiles": q_length_percentiles,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -1944,6 +1999,8 @@ def oracle_sql() -> dict[str, str]:
         "chunks": _q_chunks_sql(),
         "pii_redact": _q_pii_redact_sql(),
         "shuffle_export": _q_shuffle_export_sql(),
+        "adaptive_filter": _q_adaptive_filter_sql(),
+        "mix_report": _q_mix_report_sql(),
         "length_percentiles": _q_length_percentiles_sql(),
         "quality": _q_quality_sql(),
         "lang_id": _q_lang_id_sql(),

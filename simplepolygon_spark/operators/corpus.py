@@ -127,3 +127,24 @@ def prepare_training_corpus(
         domain_col=domain_col,
         id_col=id_col,
     )
+
+
+def mix_report(docs: DataFrame, dims: tuple = ("lang", "source")) -> DataFrame:
+    """The corpus-mixture report: doc and character totals per
+    (lang, source) WITH every ROLLUP subtotal level — per-lang totals
+    and the grand total arrive in the same single-pass aggregation a
+    mixture dashboard wants (rolled-up levels carry NULL in the
+    collapsed dimension, the standard SQL contract).
+
+    Aggregates stay INTEGER (counts and n_chars sums) so the report is
+    engine-exact.  Plan shape at 100 TB: rollup expands each row to
+    len(dims)+1 grouping sets BEFORE the partial aggregate, so the
+    exchange still carries only group-count rows (groups × levels —
+    tiny), all map-side combined; the corpus is scanned once."""
+    for d in dims:
+        if d not in docs.columns:
+            raise ValueError(f"mix_report: no column {d} in input")
+    return docs.rollup(*dims).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )

@@ -343,3 +343,42 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("text_redacted", red).withColumn(
         "n_pii", n.cast("int")
     )
+
+
+def adaptive_length_filter(
+    docs: DataFrame, frac: float = 0.1, group_col: str = "lang"
+) -> DataFrame:
+    """Keep only docs whose whitespace token count is >= their group's
+    exact ``frac`` percentile — "drop the shortest 10% per language",
+    the adaptive form of a fixed min-length gate (a global floor
+    over-prunes terse languages and under-prunes verbose ones).
+
+    Adds ``n_tokens`` and the applied ``length_floor``.  NULL-text docs
+    have NULL counts and are dropped (nothing to train on; same
+    exclusion rule as ``token_length_percentiles``).  The threshold is
+    the exact a+(b−a)·frac interpolated percentile, bit-identical to
+    DuckDB ``quantile_cont`` (see token_length_percentiles for why
+    EXACT percentile is scale-sane on bounded-integer token counts).
+
+    Plan shape at 100 TB: the corpus aggregates map-side into one
+    value→count map per group (groups = languages, a tiny frame), the
+    per-group floor broadcast-joins back, and the filter is a column
+    predicate — corpus shuffled zero times beyond the partial-agg
+    exchange of group-count rows.
+    """
+    if not (0.0 <= frac < 1.0):
+        raise ValueError(f"adaptive_length_filter: frac must be in [0,1), got {frac}")
+    for c in ("n_tokens", "length_floor"):
+        if c in docs.columns:
+            raise ValueError(f"adaptive_length_filter: input already has column {c}")
+    n_tok = _null_safe_size(F.split(F.trim("text"), "\\s+")).cast("double")
+    withn = docs.withColumn("n_tokens", n_tok)
+    floors = (
+        withn.groupBy(group_col)
+        .agg(F.percentile("n_tokens", F.lit(frac)).alias("length_floor"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    return withn.join(broadcast(floors), group_col).where(
+        F.col("n_tokens") >= F.col("length_floor")
+    )
