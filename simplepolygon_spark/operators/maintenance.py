@@ -1,0 +1,116 @@
+"""Landed-table maintenance — the OPTIMIZE half of running a 100 TB
+lakehouse without a table format.
+
+Every long-lived pipeline table here (landed corpus stages, chunk
+tables, shard exports, streaming sinks) accretes small files: each
+micro-batch, each AQE-sized task, each incremental append writes its
+own parquet part.  At scale, scan cost is dominated by file-open
+overhead once parts drop below ~tens of MB — the classic small-file
+problem.  ``compact_table`` rewrites a table's parts toward a target
+file size with a staged, verified, two-rename publish (the same
+discipline as the streaming keeper/store compactors in
+``streaming.feed``).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def _parquet_bytes(table_dir: str) -> tuple[int, int]:
+    """(total_bytes, n_files) over data parts (``_``-prefixed metadata
+    like _SUCCESS excluded, matching Spark's own reader rule)."""
+    total = 0
+    n = 0
+    for root, _dirs, files in os.walk(table_dir):
+        for f in files:
+            if f.startswith("_") or f.startswith("."):
+                continue
+            total += os.path.getsize(os.path.join(root, f))
+            n += 1
+    return total, n
+
+
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 << 20,
+    partition_cols: tuple = (),
+) -> dict:
+    """Rewrite a landed parquet table's small parts into
+    ``ceil(total_bytes / target_file_bytes)`` files (unpartitioned) or
+    one file per partition value (partitioned), then atomically swap
+    the rewritten table in.  Returns
+    ``{files_before, files_after, bytes, rows}``.
+
+    Safety contract:
+      - the rewrite lands in ``<dir>.__compact_tmp`` and is COUNTED
+        against the source before any rename — a failed or partial
+        rewrite never touches the live table
+      - the swap is two directory renames (brief non-atomic window;
+        fine for the stopped-writer maintenance window this is for —
+        an object-store deployment publishes to a fresh path and flips
+        a pointer instead, same staging discipline)
+      - data is byte-identical rows, only file layout changes
+
+    Partitioned tables (``partition_cols``): rows hash to their
+    partition value, so each partition value compacts to ONE file —
+    the common OPTIMIZE outcome for date/lang-style partitions.  A
+    single partition bigger than ``target_file_bytes`` stays one file;
+    splitting giant partitions needs per-partition size accounting
+    (deliberately out of scope — partition such tables finer instead).
+
+    Scale shape: one scan + one exchange (round-robin for the
+    unpartitioned sizing, hash(partition_cols) otherwise) + the write.
+    Sizing uses ON-DISK bytes (compressed), the standard heuristic —
+    output files land near the target, not exactly on it.
+    """
+    if not os.path.isdir(table_dir):
+        raise ValueError(f"compact_table: no such table dir {table_dir}")
+    if target_file_bytes < 1:
+        raise ValueError("compact_table: target_file_bytes must be >= 1")
+
+    total, files_before = _parquet_bytes(table_dir)
+    if files_before == 0:
+        raise ValueError(f"compact_table: {table_dir} has no data files")
+
+    df = spark.read.parquet(table_dir)
+    rows_before = df.count()
+
+    tmp = table_dir.rstrip("/") + ".__compact_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # leftover from a failed earlier attempt
+    if partition_cols:
+        missing = [c for c in partition_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"compact_table: no partition column(s) {missing}")
+        out = df.repartition(*partition_cols)
+        out.write.partitionBy(*partition_cols).parquet(tmp)
+    else:
+        n_files = max(1, math.ceil(total / target_file_bytes))
+        df.repartition(n_files).write.parquet(tmp)
+
+    # verify the staged rewrite BEFORE swapping anything
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows_before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compact_table: staged rewrite has {rows_after} rows, "
+            f"source has {rows_before} — refusing to publish"
+        )
+
+    bak = table_dir.rstrip("/") + ".__compact_old"
+    os.rename(table_dir, bak)
+    os.rename(tmp, table_dir)
+    shutil.rmtree(bak)
+    _, files_after = _parquet_bytes(table_dir)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total,
+        "rows": rows_before,
+    }
