@@ -601,18 +601,22 @@ def _q_adaptive_filter_sql():
 def q_mix_report(spark, sf_dir):
     """Corpus-mixture report: doc counts + character totals per
     (lang, source) with ALL ROLLUP subtotal levels in one single-pass
-    aggregation (collapsed dims are NULL — the standard SQL contract
-    both engines share).  Integer aggregates keep it engine-exact."""
+    aggregation (collapsed dims are NULL; the `level` grouping bitmask
+    — Spark grouping_id ≡ SQL GROUPING — keeps subtotals unambiguous
+    even when a dim holds real NULLs).  Integer aggregates keep it
+    engine-exact."""
     from simplepolygon_spark.operators.corpus import mix_report
 
     return mix_report(_read(spark, sf_dir, "documents")).orderBy(
-        "lang", "source"
+        "level", "lang", "source"
     )
 
 
 def _q_mix_report_sql():
     return """
-        SELECT lang, source, count(*) AS n_docs,
+        SELECT lang, source,
+               CAST(GROUPING(lang, source) AS INTEGER) AS level,
+               count(*) AS n_docs,
                sum(len(text)) AS total_chars
         FROM documents GROUP BY ROLLUP (lang, source)
     """

@@ -134,7 +134,10 @@ def mix_report(docs: DataFrame, dims: tuple = ("lang", "source")) -> DataFrame:
     (lang, source) WITH every ROLLUP subtotal level — per-lang totals
     and the grand total arrive in the same single-pass aggregation a
     mixture dashboard wants (rolled-up levels carry NULL in the
-    collapsed dimension, the standard SQL contract).
+    collapsed dimension, the standard SQL contract).  ``level`` is the
+    grouping bitmask (Spark ``grouping_id`` ≡ SQL ``GROUPING(dims...)``:
+    0 = leaf, bit set = that dim rolled up), which keeps subtotal rows
+    unambiguous even when a dimension holds REAL NULL values.
 
     Aggregates stay INTEGER (counts and n_chars sums) so the report is
     engine-exact.  Plan shape at 100 TB: rollup expands each row to
@@ -145,6 +148,7 @@ def mix_report(docs: DataFrame, dims: tuple = ("lang", "source")) -> DataFrame:
         if d not in docs.columns:
             raise ValueError(f"mix_report: no column {d} in input")
     return docs.rollup(*dims).agg(
+        F.grouping_id().cast("int").alias("level"),
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).alias("total_chars"),
     )

@@ -64,15 +64,30 @@ def test_mix_report_levels_and_totals(spark):
     ]
     d = _docs(spark, rows).withColumn("source", F.lit("s0"))
     out = {
-        (r["lang"], r["source"]): (r["n_docs"], r["total_chars"])
+        (r["lang"], r["source"], r["level"]): (r["n_docs"], r["total_chars"])
         for r in mix_report(d).collect()
     }
-    assert out[("en", "s0")] == (2, 6)
-    assert out[("de", "s0")] == (1, 2)
-    assert out[("en", None)] == (2, 6)    # per-lang subtotal
-    assert out[("de", None)] == (1, 2)
-    assert out[(None, None)] == (3, 8)    # grand total
+    assert out[("en", "s0", 0)] == (2, 6)
+    assert out[("de", "s0", 0)] == (1, 2)
+    assert out[("en", None, 1)] == (2, 6)    # per-lang subtotal
+    assert out[("de", None, 1)] == (1, 2)
+    assert out[(None, None, 3)] == (3, 8)    # grand total
     assert len(out) == 5  # 2 leaves + 2 lang subtotals + 1 grand
+
+
+def test_mix_report_level_disambiguates_real_nulls(spark):
+    # a REAL NULL source leaf must not be confused with the per-lang
+    # subtotal row — only the grouping bitmask separates them
+    rows = [(1, "en", "aa"), (2, "en", "bbbb")]
+    d = _docs(spark, rows).withColumn(
+        "source", F.when(F.col("doc_id") == 1, F.lit("s0"))
+    )
+    out = {
+        (r["lang"], r["source"], r["level"]): r["n_docs"]
+        for r in mix_report(d).collect()
+    }
+    assert out[("en", None, 0)] == 1  # the real-NULL-source leaf
+    assert out[("en", None, 1)] == 2  # the subtotal over both
 
 
 def test_mix_report_row_count_is_grouping_sets_sum(spark):
