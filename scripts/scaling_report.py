@@ -90,6 +90,16 @@ def main() -> None:
             f"is the stricter min-based estimator and the clean-pair quota, "
             f"which is exactly what they are for."
         )
+    corr_note += (
+        "\n- Session-handoff disclosure: the invocation that produced runs "
+        "19–21 was still finishing (detached) when the invocation that "
+        "produced runs 22–24 started, so run 21's tail and run 22's first "
+        "minutes overlapped (~12 min of self-inflicted 2x load).  Both runs "
+        "pass anyway; concurrent load can only inflate times/discards, never "
+        "the efficiency ratio, and the affected bursty pairs were discarded "
+        "by the standing spread rule (13 and 4 discards, in the raw JSON).  "
+        "Runs 23–24 ran alone."
+    )
     if window is not None:
         win = runs[window[0] : window[1]]
         headline = min(
