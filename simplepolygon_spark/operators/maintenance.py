@@ -114,3 +114,104 @@ def compact_table(
         "bytes": total,
         "rows": rows_before,
     }
+
+
+def cluster_table(
+    spark: SparkSession,
+    table_dir: str,
+    order_cols: tuple,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Rewrite a landed table RANGE-CLUSTERED on ``order_cols`` — the
+    OPTIMIZE/ZORDER analogue: after the rewrite, rows with nearby key
+    values share files and row groups, so parquet min/max statistics
+    actually prune — a key-range query (a cell-range tile scan, a
+    doc_id slice) touches the few files whose footer range overlaps
+    instead of finding matches scattered across every file.  For
+    multi-dimensional locality, pass a space-filling-curve column
+    (``cells.py``'s Morton cell id) as the single order col — that IS
+    the Z-order trick.
+
+    Same safety contract as ``compact_table``: staged rewrite, counted
+    against the source before any rename, two-rename publish.
+
+    Scale shape: ``repartitionByRange`` (one sampling pass to pick
+    bounds + one range exchange) + ``sortWithinPartitions`` (spillable
+    per-file sort) + the write.  A maintenance pass pays this once so
+    that every subsequent key-range scan reads O(matching) instead of
+    O(table) — the standard lakehouse layout trade.
+    """
+    if not os.path.isdir(table_dir):
+        raise ValueError(f"cluster_table: no such table dir {table_dir}")
+    if not order_cols:
+        raise ValueError("cluster_table: order_cols must be non-empty")
+
+    total, files_before = _parquet_bytes(table_dir)
+    if files_before == 0:
+        raise ValueError(f"cluster_table: {table_dir} has no data files")
+
+    df = spark.read.parquet(table_dir)
+    missing = [c for c in order_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"cluster_table: no order column(s) {missing}")
+    rows_before = df.count()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    tmp = table_dir.rstrip("/") + ".__cluster_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    (
+        df.repartitionByRange(n_files, *[df[c] for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .write.parquet(tmp)
+    )
+
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows_before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"cluster_table: staged rewrite has {rows_after} rows, "
+            f"source has {rows_before} — refusing to publish"
+        )
+
+    bak = table_dir.rstrip("/") + ".__cluster_old"
+    os.rename(table_dir, bak)
+    os.rename(tmp, table_dir)
+    shutil.rmtree(bak)
+    _, files_after = _parquet_bytes(table_dir)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total,
+        "rows": rows_before,
+    }
+
+
+def key_range_overlap_fraction(table_dir: str, col: str, lo, hi) -> float:
+    """Fraction of the table's ROW GROUPS whose parquet min/max
+    statistics overlap [lo, hi] — the footer-level measure of how much
+    of the table a key-range scan must actually read (what
+    ``cluster_table`` exists to minimize).  Pure pyarrow metadata scan:
+    no data pages are read."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    overlap = 0
+    for root, _dirs, files in os.walk(table_dir):
+        for f in files:
+            if f.startswith("_") or f.startswith(".") or not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if col not in idx:
+                raise ValueError(f"key_range_overlap_fraction: no column {col}")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                total += 1
+                if st is None or not st.has_min_max:
+                    overlap += 1  # no stats = must read
+                elif st.min <= hi and st.max >= lo:
+                    overlap += 1
+    if total == 0:
+        raise ValueError(f"key_range_overlap_fraction: no row groups under {table_dir}")
+    return overlap / total

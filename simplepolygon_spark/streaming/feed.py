@@ -801,6 +801,150 @@ def start_token_budget_admission(
     )
 
 
+_SHARD_STATE_SCHEMA = "shard int, n_rows long, batch_seq long, _stream_batch string"
+
+
+def shard_append_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    state_dir: str,
+    n_shards: int = 8,
+    seed: str = "shuffle",
+    id_col: str = "doc_id",
+    stream_id: str = "s0",
+) -> None:
+    """One micro-batch of the incremental shard writer — the
+    ``foreachBatch`` body of ``start_shard_append``, the online twin of
+    ``operators.sampling.shuffle_shards``: arriving docs get the SAME
+    pure (seed, id) → (shuffle_key, shard) assignment, and ``pos``
+    continues each shard's count from state, so the landed table is a
+    growing shard export whose (shard, pos) addresses never collide and
+    never change once written.
+
+    SEMANTICS: shard and shuffle_key are the batch operator's exact
+    expressions (a doc lands in the same shard no matter when it
+    arrives); ``pos`` is arrival-prefix order — within one micro-batch,
+    (shuffle_key, id) order, so a SINGLE-batch stream equals
+    ``shuffle_shards`` bit-for-bit (tested); across batches, earlier
+    arrivals keep earlier positions (an online writer cannot insert
+    into key order retroactively — same arrival-order caveat as
+    ``token_budget_admit_batch``, documented there).
+
+    STATE is one (shard, n_rows) row per TOUCHED shard per batch in a
+    ``_stream_batch``-partitioned table: reads take each shard's latest
+    row by ``batch_seq`` EXCLUDING the current batch's partition,
+    writes dynamically overwrite only the current partition — a
+    replayed batch recomputes from exactly the pre-batch counts and
+    rewrites the same (shard, pos) rows (idempotent, tested).
+    ``n_shards``/``seed``/``id_col`` are pinned in ``_store_meta.json``:
+    resuming under a different geometry would scatter one doc space
+    over two shard layouts, so it fails loudly.
+
+    Plan shape per batch: state read is O(shards) rows and broadcast;
+    the only data shuffle is the per-shard window over the BOUNDED
+    arriving batch; output lands partitioned by (shard, _stream_batch)
+    so the export keeps shard-directory layout and replays stay
+    contained."""
+    from ..operators.sampling import shuffle_shards
+
+    spark = batch.sparkSession
+    stream_batch = f"{stream_id}x{int(batch_id)}"
+    meta = {
+        "kind": "shard_append",
+        "n_shards": int(n_shards),
+        "seed": seed,
+        "id_col": id_col,
+    }
+    have_store = _check_store_meta(state_dir, meta)
+    counts_dir = os.path.join(state_dir, "counts")
+
+    ranked = shuffle_shards(batch, n_shards=n_shards, seed=seed, id_col=id_col)
+
+    prev = None
+    if have_store:
+        st = _read_parquet_if_exists(spark, counts_dir, _SHARD_STATE_SCHEMA)
+        if st is not None:
+            prev = (
+                st.where(F.col("_stream_batch") != stream_batch)
+                .groupBy("shard")
+                .agg(F.max_by("n_rows", "batch_seq").alias("__prev_n"))
+            )
+    if prev is None:
+        prev = spark.createDataFrame([], "shard int, __prev_n long")
+
+    j = (
+        ranked.join(F.broadcast(prev), "shard", "left")
+        .withColumn(
+            "pos", F.coalesce(F.col("__prev_n"), F.lit(0)) + F.col("pos")
+        )
+        .drop("__prev_n")
+        .persist()
+    )
+    try:
+        (
+            j.withColumn("_stream_batch", F.lit(stream_batch))
+            .write.partitionBy("shard", "_stream_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_state = (
+            j.groupBy("shard")
+            .agg((F.max("pos") + 1).alias("n_rows"))
+            .select(
+                "shard",
+                "n_rows",
+                F.lit(int(batch_id)).cast("long").alias("batch_seq"),
+            )
+        )
+        (
+            new_state.withColumn("_stream_batch", F.lit(stream_batch))
+            .write.partitionBy("_stream_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(counts_dir)
+        )
+    finally:
+        j.unpersist()
+
+
+def start_shard_append(
+    doc_feed: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    n_shards: int = 8,
+    seed: str = "shuffle",
+    id_col: str = "doc_id",
+    **trigger,
+):
+    """Streaming shard writer: arriving docs append to a growing
+    deterministic shard export with stable, never-colliding
+    (shard, pos) addresses — the in-stream twin of
+    ``operators.sampling.shuffle_shards`` (semantics, state layout, and
+    replay contract on ``shard_append_batch``)."""
+    sid = stream_id_for(checkpoint_dir)
+    return (
+        doc_feed.writeStream.foreachBatch(
+            lambda df, bid: shard_append_batch(
+                df,
+                bid,
+                out_dir,
+                state_dir,
+                n_shards,
+                seed,
+                id_col,
+                stream_id=sid,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
 def _with_minhash_sigs(
     docs: DataFrame, num_hashes: int = 64, k: int = 5, seed: int = 7
 ) -> DataFrame:

@@ -71,3 +71,50 @@ def test_guards(spark, tmp_path):
         compact_table(spark, t, partition_cols=("nope",))
     with pytest.raises(ValueError, match="target_file_bytes"):
         compact_table(spark, t, target_file_bytes=0)
+
+
+# ------------------------------------------------------------ cluster_table
+
+
+def _scattered(spark, path, n_rows=20000, n_files=10):
+    # key scattered across every file: hash-shuffled writes
+    spark.range(n_rows).select(
+        F.col("id"), F.pmod(F.col("id") * 2654435761, F.lit(n_rows)).alias("cell")
+    ).repartition(n_files).write.parquet(path)
+
+
+def test_cluster_table_makes_footer_stats_prune(spark, tmp_path):
+    from simplepolygon_spark.operators.maintenance import (
+        cluster_table,
+        key_range_overlap_fraction,
+    )
+
+    t = str(tmp_path / "tbl")
+    _scattered(spark, t)
+    total, _ = _parquet_bytes(t)
+    # before: a narrow cell range overlaps (nearly) every row group
+    before = key_range_overlap_fraction(t, "cell", 100, 300)
+    assert before > 0.9
+    rows_before = spark.read.parquet(t).orderBy("id").collect()
+
+    stats = cluster_table(spark, t, ("cell",), target_file_bytes=max(1, total // 8))
+    assert stats["files_after"] >= 4
+    after = key_range_overlap_fraction(t, "cell", 100, 300)
+    assert after <= 0.5, f"clustered table still {after:.0%} overlapped"
+    # data unchanged
+    assert spark.read.parquet(t).orderBy("id").collect() == rows_before
+    assert not os.path.exists(t + ".__cluster_tmp")
+    assert not os.path.exists(t + ".__cluster_old")
+
+
+def test_cluster_table_guards(spark, tmp_path):
+    from simplepolygon_spark.operators.maintenance import cluster_table
+
+    with pytest.raises(ValueError, match="no such table"):
+        cluster_table(spark, str(tmp_path / "missing"), ("cell",))
+    t = str(tmp_path / "tbl")
+    _scattered(spark, t, n_rows=100, n_files=2)
+    with pytest.raises(ValueError, match="order_cols"):
+        cluster_table(spark, t, ())
+    with pytest.raises(ValueError, match="no order column"):
+        cluster_table(spark, t, ("nope",))
