@@ -55,3 +55,33 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+# the driver-testdata table set (TESTDATA.md); also the names the
+# DuckDB oracle pre-registers, so SQL written against these views is
+# cross-checkable by construction
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def register_tables(spark: SparkSession, sf_dir: str, tables=None) -> list:
+    """Register the parquet tables under ``sf_dir`` as temp views so the
+    whole engine surface is reachable from ``spark.sql(...)`` — the SQL
+    half of the API (the oracle-portable expression emitters in
+    ``functions/`` compose with these views; see
+    ``functions.cells_sql.cell_sql_expr``).  Missing files are skipped
+    (a deployment may ship a subset); returns the view names
+    registered.  Temp views are metadata only — no data is read until a
+    query runs, so registration is free and pruning/pushdown work
+    exactly as with ``spark.read``."""
+    import os as _os
+
+    done = []
+    for t in tables or TABLES:
+        p = _os.path.join(sf_dir, f"{t}.parquet")
+        if _os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(t)
+            done.append(t)
+    return done
