@@ -622,6 +622,31 @@ def _q_mix_report_sql():
     """
 
 
+def q_profile(spark, sf_dir):
+    """One-row corpus health report (single scan + single global
+    aggregate): row/NULL/empty counts, exact duplicate-text count,
+    distinct languages, char-length extremes and total — all integer,
+    so the report is engine-exact."""
+    from simplepolygon_spark.operators.corpus import profile_corpus
+
+    return profile_corpus(_read(spark, sf_dir, "documents"))
+
+
+def _q_profile_sql():
+    return """
+        SELECT count(*) AS n_docs,
+               sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+               sum(CASE WHEN text IS NOT NULL AND trim(text) = ''
+                        THEN 1 ELSE 0 END) AS empty_text,
+               count(text) - count(DISTINCT md5(text)) AS dup_docs,
+               count(DISTINCT lang) AS n_langs,
+               min(len(text)) AS min_chars,
+               max(len(text)) AS max_chars,
+               sum(coalesce(len(text), 0)) AS total_chars
+        FROM documents
+    """
+
+
 def q_length_percentiles(spark, sf_dir):
     """Per-language exact token-count percentiles (corpus length report)."""
     from simplepolygon_spark.operators.text import token_length_percentiles
@@ -1952,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_export": q_shuffle_export,
         "adaptive_filter": q_adaptive_filter,
         "mix_report": q_mix_report,
+        "profile": q_profile,
         "length_percentiles": q_length_percentiles,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -2005,6 +2031,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_export": _q_shuffle_export_sql(),
         "adaptive_filter": _q_adaptive_filter_sql(),
         "mix_report": _q_mix_report_sql(),
+        "profile": _q_profile_sql(),
         "length_percentiles": _q_length_percentiles_sql(),
         "quality": _q_quality_sql(),
         "lang_id": _q_lang_id_sql(),

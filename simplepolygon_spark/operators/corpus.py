@@ -152,3 +152,38 @@ def mix_report(docs: DataFrame, dims: tuple = ("lang", "source")) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+
+
+def profile_corpus(docs: DataFrame) -> DataFrame:
+    """One-row corpus health report from ONE scan and ONE global
+    aggregate: row/NULL/empty counts, exact duplicate-text count,
+    distinct languages, and character-length extremes+total — the
+    numbers a pipeline checks before and after every stage ("did the
+    dedup actually shrink dup_docs to 0? did a loader start emitting
+    empty texts?").
+
+    Everything is INTEGER (counts and sums) so the report is
+    engine-exact.  ``dup_docs`` = rows minus distinct md5(text) over
+    non-NULL texts — the same definition ``exact_dup_groups`` groups
+    by, so the two operators can never disagree.
+
+    Plan shape at 100 TB: global aggregate = map-side partials (a few
+    longs per task) into ONE reducer row; count(DISTINCT md5) rewrites
+    to a two-stage expand-aggregate (the standard Spark plan) whose
+    exchange carries one 16-byte hash per distinct text — the only
+    non-constant motion, and the price of an EXACT dup count (swap in
+    approx_count_distinct when ±2% is acceptable; that trade is the
+    caller's)."""
+    t = F.col("text")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(t.isNull().cast("long")).alias("null_text"),
+        F.sum((t.isNotNull() & (F.trim(t) == "")).cast("long")).alias("empty_text"),
+        (
+            F.count(t) - F.countDistinct(F.md5(t))
+        ).alias("dup_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min(F.length(t)).alias("min_chars"),
+        F.max(F.length(t)).alias("max_chars"),
+        F.sum(F.coalesce(F.length(t), F.lit(0))).alias("total_chars"),
+    )
