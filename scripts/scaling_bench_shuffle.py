@@ -103,6 +103,7 @@ def main() -> None:
         for r in range(n_runs):
             print(f"shuffle run {r + 1}/{n_runs}:")
             runs.append(one_run(lo, hi, n_pairs, n_reps, spread_bound))
+            runs[-1]["replicas"] = replicas
             with open(jsonl, "a") as jf:
                 jf.write(json.dumps(runs[-1]) + "\n")
             summary = {
@@ -180,6 +181,17 @@ it away (raw per-pair data incl. discards:
 `BENCH/scaling_runs_shuffle.jsonl`).
 {END}"""
 
+    # The BASELINE.md shuffle section is hand-curated since it carries
+    # a TWO-workload size sweep (25k + 50k docs) whose older jsonl rows
+    # lack the replicas field — an automatic rewrite from one
+    # invocation would silently drop the other size's disclosed runs.
+    # New runs land in the jsonl above; fold them into the section by
+    # hand (or pass SCALE_REWRITE_SECTION=1 to restore the old
+    # single-table behavior knowingly).
+    if os.environ.get("SCALE_REWRITE_SECTION") != "1":
+        print("jsonl updated; BASELINE.md shuffle section left as-is "
+              "(hand-curated two-workload sweep — see comment)")
+        return
     baseline = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(baseline) as f:
         text = f.read()

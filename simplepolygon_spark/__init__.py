@@ -10,10 +10,14 @@ checkpointing, and a deterministic image payload codec.
 Layout:
   geom.py        pure-numpy geometry kernels (no Spark imports)
   decompose.py   per-polygon ring decomposition (reference-parity semantics)
-  operators/     Spark DataFrame operators (decompose, cells, joins, dedup, ...)
+  operators/     Spark DataFrame operators (decompose, cells, joins, dedup,
+                 sampling/corpus pipelines, maintenance, ...)
   sources/       deterministic synthetic sources (images, footprints, fixtures)
   functions/     column-expression helpers (JVM-side, codegen-friendly)
   plans/         end-to-end pipelines + lineage/resume
+  streaming/     Structured Streaming twins (dedup stores, admission,
+                 shard writer, lineage sink)
+  session.py     SparkSession factory + register_tables (spark.sql surface)
 """
 
 __version__ = "0.1.0"
