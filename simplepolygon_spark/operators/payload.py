@@ -12,6 +12,14 @@ Operators:
                      the sandbox) re-encoded as raw SPIM
   validate_payload — per-row PSNR vs the regenerated original +
                      caption equality (the BASELINE.json:16 invariant)
+  patch_grid       — the ViT patch-window rule as pure column
+                     expressions over (w, h) metadata — zero decode,
+                     zero shuffle (the image twin of text.chunk_documents)
+  extract_patches  — decode + emit every patch's pixels (checksummed)
+                     under exactly patch_grid's rule
+  channel_stats    — corpus-wide per-channel normalization constants
+                     from EXACT integer pixel sums (partitioning-
+                     invariant; decimal(38,0) global reduce)
 
 Unsupported lossy formats (jpeg/...) raise NotImplementedError in
 decode_image — explicitly stubbed, never silently faked.
@@ -25,6 +33,7 @@ import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..sources.images import MAGIC, decode_image, pixels_of, psnr
 
@@ -156,3 +165,206 @@ def validate_payload(images: DataFrame) -> DataFrame:
             )
 
     return images.select("image_id", "bytes", "fmt", "caption").mapInArrow(run, schema)
+
+
+def _check_patch_args(patch: int, stride: int) -> None:
+    if not (1 <= stride <= patch):
+        raise ValueError(
+            f"patch ops: need 1 <= stride <= patch, got patch={patch}, "
+            f"stride={stride}"
+        )
+
+
+def patch_grid(
+    images: DataFrame,
+    patch: int = 8,
+    stride: int | None = None,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """(id, patch_index, px, py, pw, ph): the sliding patch-window grid
+    over every image's (w, h) metadata — the ViT patchification rule,
+    and the image twin of ``text.chunk_documents``.  Per axis of extent
+    ``e``: windows start at ``i*stride``; the window count is 1 when
+    ``e <= patch`` else ``floor((e - patch + stride - 1)/stride) + 1``
+    (the first window whose end reaches the edge is the last), and the
+    edge window may be narrower (``pw = min(patch, e - px)``) — exactly
+    the chunker's tail rule, so every pixel lands in ≥1 patch and
+    interior neighbours share ``patch - stride`` pixels.
+    ``patch_index`` is row-major: ``iy * nx + ix``.
+
+    Determinism/parity: integer-exact arithmetic end to end, so the
+    DuckDB oracle (q:patch_grid) reproduces the grid bit-for-bit, and
+    ``extract_patches`` (which re-derives the same rule in numpy next
+    to the pixels) is pinned patch-for-patch equal by test.
+
+    Scale: pure column expressions over metadata — zero decode, one
+    scan, ZERO shuffle (a per-row ``sequence`` explode; rows multiply
+    by ~(w/stride)·(h/stride)).  Runs on a 10^12-row image table
+    without touching the bytes column (column pruning drops it)."""
+    if stride is None:
+        stride = patch
+    _check_patch_args(patch, stride)
+
+    def axis_n(e):
+        return (
+            F.when(e <= F.lit(patch), F.lit(1).cast("long"))
+            .otherwise(
+                F.floor((e - F.lit(patch) + F.lit(stride - 1)) / F.lit(stride))
+                + F.lit(1)
+            )
+        )
+
+    w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    base = images.select(
+        F.col(id_col),
+        w.alias("__w"),
+        h.alias("__h"),
+        axis_n(w).alias("__nx"),
+        axis_n(h).alias("__ny"),
+    )
+    k = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.col("__nx") * F.col("__ny") - 1)
+    )
+    idx = base.select(id_col, "__w", "__h", "__nx", k.alias("patch_index"))
+    px = (F.col("patch_index") % F.col("__nx")) * stride
+    py = F.floor(F.col("patch_index") / F.col("__nx")) * stride
+    return idx.select(
+        F.col(id_col),
+        "patch_index",
+        px.alias("px"),
+        py.alias("py"),
+        F.least(F.lit(patch).cast("long"), F.col("__w") - px).alias("pw"),
+        F.least(F.lit(patch).cast("long"), F.col("__h") - py).alias("ph"),
+    )
+
+
+def _np_axis_starts(e: int, patch: int, stride: int) -> list[int]:
+    """The patch_grid axis rule, re-derived independently in Python."""
+    n = 1 if e <= patch else -((e - patch) // -stride) + 1
+    return [i * stride for i in range(n)]
+
+
+def extract_patches(
+    images: DataFrame, patch: int = 8, stride: int | None = None
+) -> DataFrame:
+    """(image_id, patch_index, px, py, pw, ph, checksum): decode every
+    image and emit each patch under EXACTLY ``patch_grid``'s window
+    rule, with ``checksum`` = the exact integer sum of the patch's
+    uint8 pixel values (≤ patch²·3·255, loss-free in int64).  The grid
+    columns are pinned row-for-row equal to ``patch_grid`` by test, and
+    with ``stride == patch`` the per-image checksum total equals the
+    whole image's pixel sum (the chunker's reconstruction property).
+
+    Scale: one scan, one decode per image, ZERO shuffle — patches never
+    leave their image's partition; Python sees each Arrow batch once.
+    Emitting raw patch bytes instead of a checksum is the same loop —
+    the checksum keeps the gate integer-exact and the test independent
+    (numpy re-slices the decode on the other side)."""
+    if stride is None:
+        stride = patch
+    _check_patch_args(patch, stride)
+    schema = (
+        "image_id string, patch_index long, px long, py long, "
+        "pw long, ph long, checksum long"
+    )
+
+    def run(batches):
+        for batch in batches:
+            out = {k: [] for k in (
+                "image_id", "patch_index", "px", "py", "pw", "ph", "checksum"
+            )}
+            for iid, data, fmt in _iter_images(batch):
+                img = decode_image(data, fmt)
+                ih, iw = img.shape[:2]
+                xs = _np_axis_starts(iw, patch, stride)
+                k = 0
+                for py0 in _np_axis_starts(ih, patch, stride):
+                    for px0 in xs:
+                        sl = img[py0 : py0 + patch, px0 : px0 + patch]
+                        out["image_id"].append(iid)
+                        out["patch_index"].append(k)
+                        out["px"].append(px0)
+                        out["py"].append(py0)
+                        out["pw"].append(sl.shape[1])
+                        out["ph"].append(sl.shape[0])
+                        out["checksum"].append(int(sl.sum(dtype=np.int64)))
+                        k += 1
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["image_id"], pa.string()),
+                    pa.array(out["patch_index"], pa.int64()),
+                    pa.array(out["px"], pa.int64()),
+                    pa.array(out["py"], pa.int64()),
+                    pa.array(out["pw"], pa.int64()),
+                    pa.array(out["ph"], pa.int64()),
+                    pa.array(out["checksum"], pa.int64()),
+                ],
+                names=list(out),
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInArrow(run, schema)
+
+
+def channel_stats(images: DataFrame) -> DataFrame:
+    """One-row corpus normalization constants: per-RGB-channel mean and
+    population std over EVERY pixel, plus n_images / n_pixels — the
+    numbers a vision training run bakes into its input transform.
+
+    Exactness/scale: the mapInArrow stage emits per-Arrow-batch INTEGER
+    partials (n, Σc, Σc² per channel — bounded by batch size, far from
+    int64 range); the single global reduce sums them as decimal(38,0),
+    which stays exact past 10^12 images × 3072 px × 255² (≈ 2·10^20 for
+    Σc², headroom to 10^38) where an int64 Σc² would overflow — and
+    ANSI mode would (correctly) refuse.  Means/stds are derived from
+    the exact sums in one final double step, so the result is
+    bit-identical under ANY partitioning (pinned by test) — no
+    float-summation order sensitivity.  One scan, one decode per
+    image; the only exchange carries O(partitions) 8-column rows."""
+    part_schema = (
+        "n_px long, sum_r long, sum_g long, sum_b long, "
+        "sq_r long, sq_g long, sq_b long, n_img long"
+    )
+
+    def partials(batches):
+        for batch in batches:
+            n_px = n_img = 0
+            s = np.zeros(3, dtype=np.int64)
+            q = np.zeros(3, dtype=np.int64)
+            for _iid, data, fmt in _iter_images(batch):
+                px = decode_image(data, fmt).reshape(-1, 3).astype(np.int64)
+                n_img += 1
+                n_px += px.shape[0]
+                s += px.sum(axis=0)
+                q += (px * px).sum(axis=0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([v], pa.int64()) for v in
+                 (n_px, int(s[0]), int(s[1]), int(s[2]),
+                  int(q[0]), int(q[1]), int(q[2]), n_img)],
+                names=["n_px", "sum_r", "sum_g", "sum_b",
+                       "sq_r", "sq_g", "sq_b", "n_img"],
+            )
+
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))
+    agg = (
+        images.select("image_id", "bytes", "fmt")
+        .mapInArrow(partials, part_schema)
+        .agg(
+            F.sum("n_img").alias("n_images"),
+            F.sum("n_px").alias("n_pixels"),
+            *[dec(f"sum_{c}").alias(f"sum_{c}") for c in "rgb"],
+            *[dec(f"sq_{c}").alias(f"sq_{c}") for c in "rgb"],
+        )
+    )
+    n = F.col("n_pixels").cast("double")
+    cols = [F.col("n_images"), F.col("n_pixels")]
+    for c in "rgb":
+        mean = F.col(f"sum_{c}").cast("double") / n
+        cols.append(mean.alias(f"mean_{c}"))
+        cols.append(
+            F.sqrt(F.col(f"sq_{c}").cast("double") / n - mean * mean).alias(
+                f"std_{c}"
+            )
+        )
+    return agg.select(*cols)
