@@ -819,13 +819,17 @@ def srp_signatures(
             f"num_planes ({num_planes}) must be in [1, 64]: the signature "
             "is one 64-bit word"
         )
-    schema = f"{id_col} long, sig long"
+    # the id column passes through untouched — derive its type from the
+    # input schema instead of pinning long, so string ids (image_id)
+    # work as well as bigint ids (same contract as stats.pca_project)
+    id_type = emb.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, sig long"
 
     def run(batches):
         H = None
         plane_dim = None
         for batch in batches:
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            ids = batch.column(id_col)
             if len(ids) == 0:
                 continue
             # shared guard: NULL/ragged vectors are rejected loudly —
@@ -854,7 +858,7 @@ def srp_signatures(
             sig = _srp_sigs_of(X, H)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(ids.astype(np.int64), pa.int64()),
+                    ids,
                     pa.array(sig.view(np.int64), pa.int64()),
                 ],
                 names=[id_col, "sig"],

@@ -20,6 +20,12 @@ Operators:
   channel_stats    — corpus-wide per-channel normalization constants
                      from EXACT integer pixel sums (partitioning-
                      invariant; decimal(38,0) global reduce)
+  image_embeddings — deterministic decode→resize→project→normalize
+                     embedding kernel (the embeddings-table shape, so
+                     the whole embedding suite composes)
+  image_dup_pairs_embedding — visual near-dup pairs: embed → SRP-LSH
+                     bucket → exact cosine verify (the semantic
+                     sibling of phash banded_hamming_pairs)
 
 Unsupported lossy formats (jpeg/...) raise NotImplementedError in
 decode_image — explicitly stubbed, never silently faked.
@@ -368,3 +374,91 @@ def channel_stats(images: DataFrame) -> DataFrame:
             )
         )
     return agg.select(*cols)
+
+
+def image_embeddings(
+    images: DataFrame, dim: int = 64, canon: int = 16, seed: int = 11
+) -> DataFrame:
+    """(image_id, embedding array<float>): a deterministic image
+    embedding — decode, nearest-neighbour resize to canon×canon (the
+    same index rule as ``resize_images``), scale pixels to [-1, 1],
+    project through a seeded N(0,1) matrix (3·canon² × dim), and
+    L2-normalize.  A stand-in for a real vision encoder (no torch/CV
+    stack in this sandbox — swap the kernel body for one when
+    available) with the properties the downstream machinery actually
+    needs: byte-identical images embed identically, lossy re-encodes
+    and small perturbations land at cosine ≈ 1, unrelated images near
+    0.  The output is the ``embeddings`` table shape, so the WHOLE
+    embedding suite composes: ``embedding_dup_pairs(_lsh)``,
+    ``ivf_topk``, ``covariance``/PCA/whitening, SRP streaming dedup.
+
+    Scale: one scan, one decode per image, zero shuffle; the
+    projection matrix is regenerated per executor from the seed
+    (3·canon²·dim doubles — nothing shipped), the batch projection is
+    one matmul.  All-constant images (zero variance after centering
+    can still project to ~0) keep an unnormalized near-zero vector
+    instead of dividing by ~0."""
+    n_feat = 3 * canon * canon
+    schema = "image_id string, embedding array<float>"
+
+    def run(batches):
+        P = np.random.default_rng(seed).standard_normal((n_feat, dim))
+        for batch in batches:
+            ids, feats = [], []
+            for iid, data, fmt in _iter_images(batch):
+                px = decode_image(data, fmt)
+                h, w = px.shape[:2]
+                yi = (np.arange(canon) * h // canon).astype(np.intp)
+                xi = (np.arange(canon) * w // canon).astype(np.intp)
+                rs = px[yi][:, xi].astype(np.float64)
+                ids.append(iid)
+                feats.append(rs.ravel() / 127.5 - 1.0)
+            if not ids:
+                continue
+            X = np.vstack(feats)
+            E = X @ P
+            nrm = np.linalg.norm(E, axis=1, keepdims=True)
+            E = np.where(nrm > 1e-12, E / np.maximum(nrm, 1e-12), E)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.string()),
+                    pa.array(
+                        [row.astype(np.float32) for row in E],
+                        pa.list_(pa.float32()),
+                    ),
+                ],
+                names=["image_id", "embedding"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInArrow(run, schema)
+
+
+def image_dup_pairs_embedding(
+    images: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    canon: int = 16,
+    seed: int = 11,
+    **lsh_kwargs,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine): visual near-duplicate image pairs — the
+    composed embed → LSH-bucket → exact-verify pipeline, i.e. the
+    semantic sibling of ``phash``-based ``banded_hamming_pairs`` (which
+    catches crops/re-encodes structurally; this catches anything the
+    embedding places nearby).  ids in vec_a/vec_b are image_ids.
+
+    Scale: ``image_embeddings``' zero-shuffle kernel feeds
+    ``embedding_dup_pairs_lsh`` unchanged — signatures are the only
+    join payload, vectors are pulled once for verified candidates
+    only.  At rest, LAND the embeddings once and reuse them across
+    dedup / ANN / PCA instead of re-decoding the corpus per consumer."""
+    from .dedup import embedding_dup_pairs_lsh
+
+    emb = image_embeddings(images, dim=dim, canon=canon, seed=seed)
+    return embedding_dup_pairs_lsh(
+        emb,
+        threshold=threshold,
+        id_col="image_id",
+        vec_col="embedding",
+        **lsh_kwargs,
+    )
