@@ -480,6 +480,48 @@ def _q_chunks_sql(max_tokens: int = 32, overlap: int = 8):
     """
 
 
+def q_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization, flattened to (vec_id, i,
+    q, qscale) rows for the gate.  Every step — float→double cast,
+    abs/max, /127, floor(x/scale + 0.5) — is shared-IEEE arithmetic,
+    so q AND the double qscale hash bit-for-bit against DuckDB with no
+    rounding escape hatch.  floor(+0.5) is deliberate: Spark round()
+    is HALF_UP, DuckDB's HALF_EVEN — the explicit form is the one
+    rule both engines evaluate identically."""
+    from simplepolygon_spark.operators.similarity import quantize_embeddings
+
+    qd = quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+    return (
+        qd.select(
+            "vec_id", F.posexplode("qvec").alias("i", "q8"), "qscale"
+        )
+        .select(
+            "vec_id",
+            F.col("i").cast("int").alias("i"),
+            F.col("q8").cast("int").alias("q"),
+            "qscale",
+        )
+        .orderBy("vec_id", "i")
+    )
+
+
+def _q_quantize_sql():
+    return """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), s AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale
+          FROM v
+        )
+        SELECT vec_id, CAST(i1 - 1 AS INTEGER) AS i,
+               CAST(CASE WHEN qscale = 0 THEN 0
+                         ELSE floor(v[i1] / qscale + 0.5) END AS INTEGER) AS q,
+               CASE WHEN qscale = 0 THEN 0.0 ELSE qscale END AS qscale
+        FROM s, UNNEST(range(1, len(v) + 1)) AS t(i1)
+    """
+
+
 def q_patch_grid(spark, sf_dir):
     """ViT patchification grid (patch=8, stride=6): the image twin of
     q:chunks.  The images table's bytes aren't DuckDB-visible, so the
@@ -2033,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_report": q_mix_report,
         "profile": q_profile,
         "patch_grid": q_patch_grid,
+        "quantize": q_quantize,
         "length_percentiles": q_length_percentiles,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -2088,6 +2131,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_report": _q_mix_report_sql(),
         "profile": _q_profile_sql(),
         "patch_grid": _q_patch_grid_sql(),
+        "quantize": _q_quantize_sql(),
         "length_percentiles": _q_length_percentiles_sql(),
         "quality": _q_quality_sql(),
         "lang_id": _q_lang_id_sql(),

@@ -459,3 +459,52 @@ def ivf_topk(
         partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, qvec array<tinyint>, qscale double): symmetric per-vector
+    int8 quantization — the 4× (vs float32) storage/bandwidth
+    compression an ANN store runs at 100 TB scale.  ``qscale`` =
+    max|x|/127; ``q_i = floor(x_i/qscale + 0.5)`` (explicit
+    floor(+0.5) instead of round() so the rule is ONE deterministic
+    IEEE expression in every engine — Spark's round is HALF_UP,
+    DuckDB's HALF_EVEN).  All-zero vectors keep qscale 0 and an
+    all-zero qvec.  Reconstruction ``q_i·qscale`` is within
+    qscale/2 of x_i elementwise — the exact bound test_quantize pins.
+
+    Scale: pure JVM column expressions (transform/array_max — no
+    Python, no shuffle); quantize on write, keep qvec+qscale as the
+    at-rest ANN representation, dequantize (or score directly in
+    int8) inside the probe kernel.  q:quantize gates the full rule
+    cross-engine against DuckDB bit-for-bit — including qscale,
+    because every step is shared-IEEE arithmetic on exact casts."""
+    v = F.col(vec_col).cast("array<double>")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qscale = mx / F.lit(127.0)
+    zero = F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+    q = F.when(mx == F.lit(0.0), zero).otherwise(
+        F.transform(v, lambda x: F.floor(x / qscale + F.lit(0.5)).cast("tinyint"))
+    )
+    return emb.select(
+        F.col(id_col),
+        q.alias("qvec"),
+        F.when(mx == F.lit(0.0), F.lit(0.0)).otherwise(qscale).alias("qscale"),
+    )
+
+
+def dequantize_embeddings(
+    qdf: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, embedding array<double>): reconstruct ``q_i·qscale`` from
+    ``quantize_embeddings`` output — each element within qscale/2 of
+    the original.  Pure column expressions; use where a consumer needs
+    float vectors back (the probe kernels can equally score int8
+    directly against a quantized query)."""
+    return qdf.select(
+        F.col(id_col),
+        F.transform(
+            F.col("qvec"), lambda q: q.cast("double") * F.col("qscale")
+        ).alias("embedding"),
+    )
