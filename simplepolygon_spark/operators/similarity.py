@@ -91,13 +91,19 @@ def cosine_topk_window(
 
 
 def cosine_topk_arrow(
-    corpus: DataFrame, queries_np: dict[int, np.ndarray], k: int = 5
+    corpus: DataFrame,
+    queries_np: dict[int, np.ndarray],
+    k: int = 5,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Scale path: per-batch matmul top-k, then a single tiny global
     top-k per query (tree-reduced by Spark's sort of B·Q·k rows).
 
     ``queries_np``: query_id → float64 vector (already on the driver —
     the query set is small by definition of top-k search).
+    ``vec_col`` may be any fixed-dim numeric list column — rows are
+    normalized in the kernel, so an int8 ``qvec`` works directly
+    (see ``cosine_topk_quantized``).
     """
     qids = sorted(queries_np)
     Q = np.stack([np.asarray(queries_np[q], np.float64) for q in qids])
@@ -110,7 +116,7 @@ def cosine_topk_arrow(
             vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             if len(vids) == 0:
                 continue
-            emb = _emb_matrix(batch.column("embedding"))
+            emb = _emb_matrix(batch.column(vec_col))
             En = emb / np.linalg.norm(emb, axis=1, keepdims=True)
             sims = En @ Qn.T  # B × Q
             kk = min(k, len(vids))
@@ -135,7 +141,7 @@ def cosine_topk_arrow(
                 names=["query_id", "vec_id", "cosine"],
             )
 
-    partial = corpus.select("vec_id", "embedding").mapInArrow(run, schema)
+    partial = corpus.select("vec_id", vec_col).mapInArrow(run, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return (
         partial.withColumn("rank", F.row_number().over(w))
@@ -507,4 +513,22 @@ def dequantize_embeddings(
         F.transform(
             F.col("qvec"), lambda q: q.cast("double") * F.col("qscale")
         ).alias("embedding"),
+    )
+
+
+def cosine_topk_quantized(
+    qcorpus: DataFrame, queries_np: dict[int, np.ndarray], k: int = 5
+) -> DataFrame:
+    """Top-k cosine search directly over the AT-REST int8 store
+    (``quantize_embeddings`` output) — the probe path that realizes the
+    4× compression: the scan reads qvec only (cosine is
+    scale-invariant, so ``qscale`` is never read — column pruning drops
+    it) and the kernel normalizes the raw int8 rows; nothing is
+    dequantized to a float column first, so 4× fewer bytes cross disk,
+    scan, AND the Arrow boundary.  Results approximate the float-store
+    ``cosine_topk_arrow`` within quantization error (~qscale/2 per
+    element); test_quantize pins rank-1 agreement and top-k recall on
+    the test corpus."""
+    return cosine_topk_arrow(
+        qcorpus.select("vec_id", "qvec"), queries_np, k, vec_col="qvec"
     )

@@ -75,3 +75,54 @@ def test_quantize_plan_is_expression_only(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan  # no UDF/eval stages
+
+
+def test_quantized_topk_matches_float_topk(spark):
+    """Probing the int8 store agrees with the float store: identical
+    rank-1 neighbor per query and high top-k overlap (quantization can
+    only flip near-ties)."""
+    from simplepolygon_spark.operators.similarity import (
+        cosine_topk_arrow,
+        cosine_topk_quantized,
+    )
+
+    emb = _emb(spark)
+    queries = {
+        r.vec_id: np.asarray(r.embedding, np.float64)
+        for r in emb.where(F.col("vec_id") < 4).collect()
+    }
+    k = 5
+    f = cosine_topk_arrow(emb, queries, k=k).collect()
+    q = cosine_topk_quantized(quantize_embeddings(emb), queries, k=k).collect()
+    ftop = {(r.query_id, r.rank): r.vec_id for r in f}
+    qtop = {(r.query_id, r.rank): r.vec_id for r in q}
+    for qid in queries:
+        # rank 1 (the query itself at cosine 1) must agree exactly
+        assert ftop[(qid, 1)] == qtop[(qid, 1)]
+        fset = {ftop[(qid, r)] for r in range(1, k + 1)}
+        qset = {qtop[(qid, r)] for r in range(1, k + 1)}
+        assert len(fset & qset) >= k - 1  # at most one near-tie flip
+
+
+def test_quantized_probe_prunes_qscale(spark, tmp_path):
+    """Over the at-rest parquet store, the probe's scan reads vec_id +
+    qvec ONLY — cosine is scale-invariant, so qscale is column-pruned
+    away (the 4x-compression read path is real, not just smaller
+    numbers in a wider scan)."""
+    from simplepolygon_spark.operators.similarity import cosine_topk_quantized
+
+    emb = _emb(spark).limit(100)
+    store = str(tmp_path / "qstore")
+    quantize_embeddings(emb).write.parquet(store)
+    queries = {
+        r.vec_id: np.asarray(r.embedding, np.float64)
+        for r in emb.where(F.col("vec_id") < 2).collect()
+    }
+    probe = cosine_topk_quantized(spark.read.parquet(store), queries, k=3)
+    scan_lines = [
+        ln
+        for ln in probe._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "ReadSchema" in ln
+    ]
+    assert scan_lines and all("qscale" not in ln for ln in scan_lines)
+    assert probe.count() == 2 * 3
