@@ -154,7 +154,7 @@ def mix_report(docs: DataFrame, dims: tuple = ("lang", "source")) -> DataFrame:
     )
 
 
-def profile_corpus(docs: DataFrame) -> DataFrame:
+def profile_corpus(docs: DataFrame, approx: bool = False) -> DataFrame:
     """One-row corpus health report from ONE scan and ONE global
     aggregate: row/NULL/empty counts, exact duplicate-text count,
     distinct languages, and character-length extremes+total — the
@@ -171,18 +171,28 @@ def profile_corpus(docs: DataFrame) -> DataFrame:
     longs per task) into ONE reducer row; count(DISTINCT md5) rewrites
     to a two-stage expand-aggregate (the standard Spark plan) whose
     exchange carries one 16-byte hash per distinct text — the only
-    non-constant motion, and the price of an EXACT dup count (swap in
-    approx_count_distinct when ±2% is acceptable; that trade is the
-    caller's)."""
+    non-constant motion, and the price of an EXACT dup count.
+
+    ``approx=True`` makes that trade: dup_docs and n_langs switch to
+    ``approx_count_distinct`` (HyperLogLog++, default rsd 5%), turning
+    the distinct-count expand-aggregate into constant-size sketch
+    partials — the WHOLE report becomes one constant-motion aggregate,
+    the shape to run hourly over 100 TB.  Approx figures are estimates
+    (tolerance pinned by test); every other column stays exact."""
     t = F.col("text")
+    cd = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.countDistinct(c))
+    )
     return docs.agg(
         F.count("*").alias("n_docs"),
         F.sum(t.isNull().cast("long")).alias("null_text"),
         F.sum((t.isNotNull() & (F.trim(t) == "")).cast("long")).alias("empty_text"),
         (
-            F.count(t) - F.countDistinct(F.md5(t))
+            F.count(t) - cd(F.md5(t))
         ).alias("dup_docs"),
-        F.countDistinct("lang").alias("n_langs"),
+        cd(F.col("lang")).alias("n_langs"),
         F.min(F.length(t)).alias("min_chars"),
         F.max(F.length(t)).alias("max_chars"),
         F.sum(F.coalesce(F.length(t), F.lit(0))).alias("total_chars"),

@@ -38,3 +38,33 @@ def test_profile_agrees_with_exact_dup_groups(spark):
         groups.agg(F.sum(F.col("n_docs") - 1).alias("x")).collect()[0].x
     )
     assert prof.dup_docs == extra == 23
+
+
+def test_profile_approx_mode(spark):
+    """approx=True: dup_docs/n_langs become HLL estimates within the
+    sketch tolerance; every other column stays exact; and the plan
+    loses the distinct-count Expand stage (the sketch partials are
+    constant-size — the hourly-over-100TB shape)."""
+    from simplepolygon_spark.operators.corpus import profile_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = profile_corpus(docs).collect()[0]
+    appr = profile_corpus(docs, approx=True).collect()[0]
+    for col in ("n_docs", "null_text", "empty_text", "min_chars",
+                "max_chars", "total_chars"):
+        assert getattr(appr, col) == getattr(exact, col)
+    # HLL++ rsd default 5%: dup_docs = n - distinct, so compare the
+    # distinct estimates underneath
+    ex_d = exact.n_docs - exact.null_text - exact.dup_docs
+    ap_d = appr.n_docs - appr.null_text - appr.dup_docs
+    assert abs(ap_d - ex_d) <= 0.1 * ex_d
+    assert abs(appr.n_langs - exact.n_langs) <= max(1, 0.1 * exact.n_langs)
+    plan = (
+        profile_corpus(docs, approx=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan
+    exact_plan = (
+        profile_corpus(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan  # the cost approx mode removes
