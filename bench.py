@@ -128,6 +128,10 @@ def main() -> None:
         .where((F.col("psnr_db") < 40) | ~F.col("caption_ok"))
         .count(),
     )
+    from simplepolygon_spark.operators.payload import image_embeddings
+
+    # decode → resize → project → normalize over 20k real-byte images
+    timed("image_embed", lambda: image_embeddings(imgs_bytes).count())
     imgs_bytes.unpersist()
     imgs.unpersist()
 
@@ -152,6 +156,9 @@ def main() -> None:
         "asof_join",
         "tfidf_topk",
         "pipeline_select",
+        "patch_grid",
+        "quantize",
+        "profile",
     ):
         timed(name, lambda name=name: Q[name](spark, sf_dir).count())
 
