@@ -1859,3 +1859,223 @@ def start_assign_with_lineage(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# In-stream corpus health profile — the incremental twin of
+# corpus.profile_corpus
+# ---------------------------------------------------------------------------
+
+_PROFILE_STATE_SCHEMA = (
+    "n_docs long, null_text long, empty_text long, new_distinct long, "
+    "total_chars long, min_chars int, max_chars int, "
+    "batch_seq long, _stream_batch string"
+)
+_PROFILE_MD5_SCHEMA = "md5 string, bucket int, _stream_batch string"
+_PROFILE_LANG_SCHEMA = "lang string, _stream_batch string"
+
+
+def profile_batch(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    n_buckets: int = 64,
+    stream_id: str = "s0",
+) -> None:
+    """One micro-batch of the in-stream corpus health profile — the
+    ``foreachBatch`` body of ``start_profile_stream``, the incremental
+    twin of ``corpus.profile_corpus``: after every batch,
+    ``read_stream_profile`` reproduces the batch operator's report over
+    everything that has arrived — EXACTLY, including the duplicate-text
+    count (dup_docs shares profile_corpus's md5 definition).
+
+    STATE: (a) one additive-partials row per batch (counts, char sums,
+    min/max — all combinable), (b) a distinct-md5 store BUCKETED by
+    ``pmod(xxhash64(md5), n_buckets)`` — the same touched-bucket
+    pruning contract as the banded dedup signature stores (feed.py
+    above; bounded-scan behaviour proven there on the shared
+    mechanism): each batch reads only its arrivals' buckets, and only
+    md5s UNSEEN in prior batches are appended, so the store holds each
+    distinct text hash exactly once, (c) a tiny distinct-langs store.
+    All three are ``_stream_batch``-partitioned with dynamic overwrite
+    and exclude the current batch's partition on read — a replayed
+    batch recomputes from exactly the pre-batch state and rewrites the
+    same rows (idempotent, tested).  ``n_buckets`` is pinned in
+    ``_store_meta.json``: resuming under a different bucketing would
+    split one hash space over two layouts, so it fails loudly.
+
+    Per-batch motion: the arriving batch aggregates once (map-side
+    partials → one row); its distinct md5s anti-join the PRUNED store
+    slice; state writes are one partials row + the genuinely-new
+    hashes."""
+    spark = batch.sparkSession
+    stream_batch = f"{stream_id}x{int(batch_id)}"
+    meta = {"kind": "profile_stream", "n_buckets": int(n_buckets)}
+    have_store = _check_store_meta(state_dir, meta)
+    parts_dir = os.path.join(state_dir, "partials")
+    md5_dir = os.path.join(state_dir, "md5s")
+    lang_dir = os.path.join(state_dir, "langs")
+
+    t = F.col("text")
+    batch = batch.persist()
+    try:
+        scal = batch.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(t.isNull().cast("long")).alias("null_text"),
+            F.sum((t.isNotNull() & (F.trim(t) == "")).cast("long")).alias(
+                "empty_text"
+            ),
+            F.sum(F.coalesce(F.length(t), F.lit(0))).alias("total_chars"),
+            F.min(F.length(t)).alias("min_chars"),
+            F.max(F.length(t)).alias("max_chars"),
+        ).collect()[0]
+
+        arr = (
+            batch.where(t.isNotNull())
+            .select(F.md5(t).alias("md5"))
+            .distinct()
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("md5"), F.lit(n_buckets)).cast("int"),
+            )
+        )
+        touched = [r.bucket for r in arr.select("bucket").distinct().collect()]
+        new_md5 = arr
+        if have_store:
+            st = _read_parquet_if_exists(spark, md5_dir, _PROFILE_MD5_SCHEMA)
+            if st is not None:
+                prior = st.where(
+                    F.col("bucket").isin(touched)
+                    & (F.col("_stream_batch") != stream_batch)
+                ).select("md5")
+                new_md5 = arr.join(prior, "md5", "left_anti")
+        new_md5 = new_md5.persist()
+        n_new = new_md5.count()
+        (
+            new_md5.withColumn("_stream_batch", F.lit(stream_batch))
+            .write.partitionBy("bucket", "_stream_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(md5_dir)
+        )
+        new_md5.unpersist()
+
+        if "lang" in batch.columns:
+            langs = (
+                batch.where(F.col("lang").isNotNull())
+                .select("lang")
+                .distinct()
+            )
+            lst = _read_parquet_if_exists(spark, lang_dir, _PROFILE_LANG_SCHEMA)
+            if lst is not None:
+                langs = langs.join(
+                    lst.where(F.col("_stream_batch") != stream_batch).select(
+                        "lang"
+                    ),
+                    "lang",
+                    "left_anti",
+                )
+            (
+                langs.withColumn("_stream_batch", F.lit(stream_batch))
+                .write.partitionBy("_stream_batch")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(lang_dir)
+            )
+
+        row = [
+            (
+                scal.n_docs,
+                scal.null_text,
+                scal.empty_text,
+                n_new,
+                scal.total_chars,
+                scal.min_chars,
+                scal.max_chars,
+                int(batch_id),
+                stream_batch,
+            )
+        ]
+        (
+            spark.createDataFrame(row, _PROFILE_STATE_SCHEMA)
+            .write.partitionBy("_stream_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(parts_dir)
+        )
+    finally:
+        batch.unpersist()
+
+
+def read_stream_profile(spark, state_dir: str) -> DataFrame:
+    """One-row health report over everything the profile stream has
+    seen — the same columns as ``corpus.profile_corpus`` (and EXACTLY
+    its values on the landed union; tested).  The partials fold is a
+    tiny aggregate over one row per batch; dup_docs = non-NULL docs
+    minus the md5 store's size (each distinct hash stored once)."""
+    parts = _read_parquet_if_exists(
+        spark, os.path.join(state_dir, "partials"), _PROFILE_STATE_SCHEMA
+    )
+    if parts is None:
+        raise ValueError(f"no profile stream state at {state_dir}")
+    agg = parts.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("null_text").alias("null_text"),
+        F.sum("empty_text").alias("empty_text"),
+        F.sum("total_chars").alias("total_chars"),
+        F.min("min_chars").alias("min_chars"),
+        F.max("max_chars").alias("max_chars"),
+    ).collect()[0]
+    md5s = _read_parquet_if_exists(
+        spark, os.path.join(state_dir, "md5s"), _PROFILE_MD5_SCHEMA
+    )
+    n_distinct = md5s.count() if md5s is not None else 0
+    langs = _read_parquet_if_exists(
+        spark, os.path.join(state_dir, "langs"), _PROFILE_LANG_SCHEMA
+    )
+    n_langs = (
+        langs.select("lang").distinct().count() if langs is not None else 0
+    )
+    row = [
+        (
+            agg.n_docs,
+            agg.null_text,
+            agg.empty_text,
+            (agg.n_docs - agg.null_text) - n_distinct,
+            n_langs,
+            agg.min_chars,
+            agg.max_chars,
+            agg.total_chars,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_docs long, null_text long, empty_text long, dup_docs long, "
+        "n_langs long, min_chars int, max_chars int, total_chars long",
+    )
+
+
+def start_profile_stream(
+    doc_feed: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    **trigger,
+):
+    """Streaming corpus health profile: every micro-batch folds into
+    the incremental state so ``read_stream_profile`` answers "what does
+    the corpus look like so far" without rescanning the landed table —
+    semantics, state layout, and replay contract on
+    ``profile_batch``."""
+    sid = stream_id_for(checkpoint_dir)
+    return (
+        doc_feed.writeStream.foreachBatch(
+            lambda df, bid: profile_batch(
+                df, bid, state_dir, n_buckets, stream_id=sid
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
