@@ -357,6 +357,7 @@ def ivf_topk(
     k: int = 5,
     probes: int | None = None,
     centroid_col: str | None = None,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF approximate top-k in ONE corpus pass: every query's probe
     list (its ``probes`` nearest centroids) is broadcast with the query
@@ -400,6 +401,17 @@ def ivf_topk(
         raise ValueError(
             f"ivf_topk: probes ({probes}) must be in [1, n_centroids={len(C)}]"
         )
+    if vec_col != "embedding" and centroid_col is None:
+        # cosine is scale-invariant but the L2 centroid ASSIGNMENT is
+        # not: argmin over int8-space rows against float centroids
+        # misassigns silently.  A non-float store must carry the
+        # assignment made on the float vectors (the at-rest layout).
+        raise ValueError(
+            f"ivf_topk: vec_col={vec_col!r} (a non-float store) requires "
+            "centroid_col — in-kernel L2 assignment on rescaled vectors "
+            "against float centroids would silently misassign; assign "
+            "with ivf_assign BEFORE quantizing (the at-rest layout)"
+        )
     qids = sorted(queries_np)
     Q = np.stack([np.asarray(queries_np[q], np.float64) for q in qids])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -418,7 +430,7 @@ def ivf_topk(
             vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             if len(vids) == 0:
                 continue
-            emb = _emb_matrix(batch.column("embedding"))
+            emb = _emb_matrix(batch.column(vec_col))
             if centroid_col is not None:
                 cid = batch.column(centroid_col).to_numpy(zero_copy_only=False)
                 cid = cid.astype(np.int64)
@@ -455,10 +467,10 @@ def ivf_topk(
 
     if centroid_col is not None:
         src = corpus.where(F.col(centroid_col).isin(probed_union)).select(
-            "vec_id", "embedding", centroid_col
+            "vec_id", vec_col, centroid_col
         )
     else:
-        src = corpus.select("vec_id", "embedding")
+        src = corpus.select("vec_id", vec_col)
     partial = src.mapInArrow(run, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return (
@@ -531,4 +543,32 @@ def cosine_topk_quantized(
     the test corpus."""
     return cosine_topk_arrow(
         qcorpus.select("vec_id", "qvec"), queries_np, k, vec_col="qvec"
+    )
+
+
+def ivf_topk_quantized(
+    qcorpus: DataFrame,
+    queries_np: dict[int, np.ndarray],
+    centroids: np.ndarray,
+    k: int = 5,
+    probes: int | None = None,
+    centroid_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF approximate top-k over the AT-REST int8 store: the full
+    compressed-ANN layout — ``ivf_assign`` on the float vectors, then
+    ``quantize_embeddings``, landed partitioned by centroid — probed
+    with 4× less scan/Arrow traffic (qscale pruned, cosine is
+    scale-invariant in the kernel).  The centroid assignment column is
+    REQUIRED: int8-space L2 against float centroids would misassign
+    (loud guard in ``ivf_topk``); on a centroid-partitioned table the
+    probe filter stays a PartitionFilter, so non-probed partitions are
+    never opened."""
+    return ivf_topk(
+        qcorpus,
+        queries_np,
+        centroids,
+        k=k,
+        probes=probes,
+        centroid_col=centroid_col,
+        vec_col="qvec",
     )

@@ -126,3 +126,47 @@ def test_quantized_probe_prunes_qscale(spark, tmp_path):
     ]
     assert scan_lines and all("qscale" not in ln for ln in scan_lines)
     assert probe.count() == 2 * 3
+
+
+def test_ivf_quantized_store(spark):
+    """The full compressed-ANN at-rest layout: ivf_assign on the FLOAT
+    vectors → quantize → probe via ivf_topk_quantized.  At probes =
+    n_centroids (exact search) the result agrees with the float IVF on
+    rank-1 per query and ≥k−1 of top-k; and the guard refuses a
+    quantized store without an assignment column."""
+    from simplepolygon_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_topk_quantized,
+        kmeans_centroids,
+    )
+
+    emb = _emb(spark).limit(300)
+    X = np.stack(
+        [np.asarray(r.embedding, np.float64) for r in emb.collect()]
+    )
+    C = kmeans_centroids(X, n_centroids=8, iters=4)
+    cid = ivf_assign(emb, C)  # (vec_id, centroid_id) — float-space argmin
+    assigned = emb.join(cid, "vec_id")
+    qstore = quantize_embeddings(emb).join(cid, "vec_id")
+    queries = {
+        r.vec_id: np.asarray(r.embedding, np.float64)
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    }
+    k = 5
+    f = ivf_topk(assigned, queries, C, k=k, probes=8, centroid_col="centroid_id")
+    q = ivf_topk_quantized(qstore, queries, C, k=k, probes=8)
+    ftop = {(r.query_id, r.rank): r.vec_id for r in f.collect()}
+    qtop = {(r.query_id, r.rank): r.vec_id for r in q.collect()}
+    for qid in queries:
+        assert ftop[(qid, 1)] == qtop[(qid, 1)]
+        fset = {v for (qq, _), v in ftop.items() if qq == qid}
+        qset = {v for (qq, _), v in qtop.items() if qq == qid}
+        assert len(fset & qset) >= k - 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="centroid_col"):
+        ivf_topk(
+            quantize_embeddings(emb), queries, C, k=k, probes=8, vec_col="qvec"
+        )
