@@ -522,6 +522,59 @@ def _q_quantize_sql():
     """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot reconciliation: documents vs an in-query
+    modified second version (doc_id%7==0 dropped → removed; doc_id%11==0
+    text suffixed → changed — except NULL texts, where `||`
+    NULL-propagates in BOTH engines so the doc stays NULL → unchanged,
+    exercising the NULL-safe equality on both branches; doc_id<50
+    re-keyed +1e6 → added).  Oracle reproduces the full-outer join with
+    IS NOT DISTINCT FROM."""
+    from simplepolygon_spark.operators.corpus import snapshot_diff
+
+    old = _read(spark, sf_dir, "documents")
+    new = (
+        old.where(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.expr("text || ' v2'"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            old.where(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(old, new).orderBy("doc_id")
+
+
+def _q_snapshot_diff_sql():
+    return """
+        WITH old AS (
+          SELECT doc_id, md5(text) AS h, TRUE AS p FROM documents
+        ), new_v AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+          FROM documents WHERE doc_id % 7 != 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+        ), new AS (
+          SELECT doc_id, md5(text) AS h, TRUE AS p FROM new_v
+        )
+        SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+               CASE WHEN old.p IS NULL THEN 'added'
+                    WHEN new.p IS NULL THEN 'removed'
+                    WHEN old.h IS NOT DISTINCT FROM new.h THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """
+
+
 def q_patch_grid(spark, sf_dir):
     """ViT patchification grid (patch=8, stride=6): the image twin of
     q:chunks.  The images table's bytes aren't DuckDB-visible, so the
@@ -2075,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_report": q_mix_report,
         "profile": q_profile,
         "patch_grid": q_patch_grid,
+        "snapshot_diff": q_snapshot_diff,
         "quantize": q_quantize,
         "length_percentiles": q_length_percentiles,
         "quality": q_quality,
@@ -2131,6 +2185,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_report": _q_mix_report_sql(),
         "profile": _q_profile_sql(),
         "patch_grid": _q_patch_grid_sql(),
+        "snapshot_diff": _q_snapshot_diff_sql(),
         "quantize": _q_quantize_sql(),
         "length_percentiles": _q_length_percentiles_sql(),
         "quality": _q_quality_sql(),

@@ -197,3 +197,45 @@ def profile_corpus(docs: DataFrame, approx: bool = False) -> DataFrame:
         F.max(F.length(t)).alias("max_chars"),
         F.sum(F.coalesce(F.length(t), F.lit(0))).alias("total_chars"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, status): per-document reconciliation of two corpus
+    snapshots — status ∈ added | removed | changed | unchanged — the
+    "what did this pipeline run actually change" check run between any
+    two landed versions before promoting one.
+
+    Semantics: keyed on ``id_col`` (full outer join); content equality
+    is NULL-SAFE md5-of-text equality (``<=>``), so a NULL→NULL text is
+    unchanged and NULL→'x' is changed — DuckDB's IS NOT DISTINCT FROM
+    reproduces it exactly (q:snapshot_diff).
+
+    Scale: each side is scanned once projected to (id, 16-byte hash) —
+    text never moves; the full-outer hash join shuffles ~24 B/row per
+    side.  Snapshots landed id-clustered (``maintenance.cluster_table``)
+    or bucketed by id keep the join co-located; AQE handles the rest.
+    The summary a dashboard wants is ``groupBy("status").count()`` on
+    this output — map-side combined, four rows."""
+    o = old.select(
+        F.col(id_col).alias("__id"), F.md5(text_col).alias("__old_h")
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"), F.md5(text_col).alias("__new_h")
+    )
+    # presence flags, not hash NULLness: a present row with NULL text
+    # also has a NULL hash and must not read as absent
+    o = o.withColumn("__old_p", F.lit(True))
+    n = n.withColumn("__new_p", F.lit(True))
+    j = o.join(n, "__id", "full_outer")
+    status = (
+        F.when(F.col("__old_p").isNull(), F.lit("added"))
+        .when(F.col("__new_p").isNull(), F.lit("removed"))
+        .when(F.col("__old_h").eqNullSafe(F.col("__new_h")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("__id").alias(id_col), status.alias("status"))

@@ -68,3 +68,29 @@ def test_profile_approx_mode(spark):
         profile_corpus(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Expand" in exact_plan  # the cost approx mode removes
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    """All four statuses from a hand-built pair, including the NULL
+    edges: NULL→NULL unchanged, NULL→text and text→NULL changed, and a
+    present-with-NULL-text row never reads as absent."""
+    from simplepolygon_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d"), (5, None), (6, "f")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (3, None), (5, "now"), (6, None), (7, "new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",  # NULL -> NULL
+        4: "removed",
+        5: "changed",  # NULL -> text
+        6: "changed",  # text -> NULL
+        7: "added",
+    }
