@@ -53,6 +53,7 @@ def token_length_percentiles(
     docs: DataFrame,
     probs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9),
     group_col: str = "lang",
+    approx: bool = False,
 ) -> DataFrame:
     """(group, p10..p90, n_docs): per-group EXACT linear-interpolation
     percentiles of the whitespace token count — the corpus
@@ -65,17 +66,24 @@ def token_length_percentiles(
     state is O(distinct values) — token counts are small integers, so
     the map stays tiny no matter how many rows stream through (100 TB
     of docs with counts < 10^6 is a <10^6-entry map per group,
-    map-side combined).  For unbounded-domain doubles use
-    ``approx_percentile`` instead; that trade is the caller's.
+    map-side combined).  ``approx=True`` makes the unbounded-domain
+    trade: ``approx_percentile`` (KLL-style bounded sketch, accuracy
+    10000) — per-group state is O(sketch) regardless of the value
+    domain, at the cost of estimate (not interpolated-exact) outputs;
+    use it when the percentile column is an unbounded double.
     NULL-text docs have NULL counts and are excluded by the aggregate
     (both engines), but still show in ``n_docs`` (COUNT(*) row count).
     Interpolation is the shared a + (b−a)·frac definition, bit-exact
     vs DuckDB ``quantile_cont`` (gated by q:length_percentiles)."""
     n_tok = _null_safe_size(F.split(F.trim("text"), "\\s+")).cast("double")
     tc = docs.select(F.col(group_col), n_tok.alias("__nt"))
+    pfn = (
+        (lambda c, p: F.approx_percentile(c, F.lit(p), F.lit(10000)).cast("double"))
+        if approx
+        else (lambda c, p: F.percentile(c, F.lit(p)))
+    )
     aggs = [
-        F.percentile("__nt", F.lit(p)).alias(f"p{int(round(p * 100))}")
-        for p in probs
+        pfn("__nt", p).alias(f"p{int(round(p * 100))}") for p in probs
     ]
     return tc.groupBy(group_col).agg(*aggs, F.count("*").alias("n_docs"))
 

@@ -567,3 +567,21 @@ def test_prepare_training_corpus_ngram_mode(spark):
         ).collect()
     }
     assert got_ngram == {1}
+
+
+def test_token_length_percentiles_approx_mode(spark):
+    """approx=True (KLL sketch at accuracy 10000): estimates track the
+    exact per-group percentiles within a tight band on the test corpus
+    — the unbounded-value-domain escape hatch the exact map-state
+    aggregate can't offer."""
+    from simplepolygon_spark.operators.text import token_length_percentiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {r.lang: r for r in token_length_percentiles(docs).collect()}
+    appr = {r.lang: r for r in token_length_percentiles(docs, approx=True).collect()}
+    assert exact.keys() == appr.keys()
+    for lang in exact:
+        assert appr[lang].n_docs == exact[lang].n_docs  # counts stay exact
+        for c in ("p10", "p25", "p50", "p75", "p90"):
+            e, a = getattr(exact[lang], c), getattr(appr[lang], c)
+            assert abs(a - e) <= max(2.0, 0.05 * e), (lang, c, e, a)
