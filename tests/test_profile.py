@@ -94,3 +94,38 @@ def test_snapshot_diff_statuses_and_null_safety(spark):
         6: "changed",  # text -> NULL
         7: "added",
     }
+
+
+def test_snapshot_diff_colocated_on_bucketed_snapshots(spark, tmp_path):
+    """SCALE.md's co-location claim, proven: two snapshots written
+    bucketed by doc_id diff with NO Exchange anywhere in the plan (the
+    full-outer SortMergeJoin reads co-located bucket files), and the
+    result matches the unbucketed diff."""
+    from simplepolygon_spark.operators.corpus import snapshot_diff
+    from simplepolygon_spark.plans.bucketing import write_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.expr("text || ' v2'"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    write_bucketed(
+        old, "snap_old", ["doc_id"], 8, path=str(tmp_path / "old")
+    )
+    write_bucketed(
+        new, "snap_new", ["doc_id"], 8, path=str(tmp_path / "new")
+    )
+    try:
+        d = snapshot_diff(spark.table("snap_old"), spark.table("snap_new"))
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        got = {r.doc_id: r.status for r in d.collect()}
+        want = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+        assert got == want
+        assert "removed" in got.values() and "changed" in got.values()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS snap_old")
+        spark.sql("DROP TABLE IF EXISTS snap_new")
