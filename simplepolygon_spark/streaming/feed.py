@@ -2079,3 +2079,87 @@ def start_profile_stream(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# In-stream mixture report — the incremental twin of corpus.mix_report
+# ---------------------------------------------------------------------------
+
+
+def mix_report_batch(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    dims: tuple = ("lang", "source"),
+    stream_id: str = "s0",
+) -> None:
+    """One micro-batch of the in-stream mixture dashboard — the
+    ``foreachBatch`` body of ``start_mix_report``: every batch lands
+    its own single-pass ROLLUP rows (``corpus.mix_report`` — same
+    grouping_id bitmask, same integer aggregates), and because rollup
+    groups are ADDITIVE, ``read_stream_mix`` folds them into exactly
+    the batch report over everything that has arrived (tested,
+    including real-NULL dims vs subtotal rows — the level bitmask
+    disambiguates in the fold too).
+
+    State: one rollup row-set per batch under a ``_stream_batch``
+    partition with dynamic overwrite — replays rewrite the same
+    partition (idempotent, tested); ``dims`` is pinned in
+    ``_store_meta.json`` (a resumed stream with different dims would
+    fold incomparable group spaces — loud).  Per-batch motion is the
+    batch's own groups × levels rows; history is never re-read."""
+    from ..operators.corpus import mix_report
+
+    stream_batch = f"{stream_id}x{int(batch_id)}"
+    _check_store_meta(state_dir, {"kind": "mix_stream", "dims": list(dims)})
+    (
+        mix_report(batch, dims)
+        .withColumn("_stream_batch", F.lit(stream_batch))
+        .write.partitionBy("_stream_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(os.path.join(state_dir, "rollups"))
+    )
+
+
+def read_stream_mix(
+    spark, state_dir: str, dims: tuple = ("lang", "source")
+) -> DataFrame:
+    """The mixture dashboard over everything the stream has seen —
+    same columns and values as ``corpus.mix_report`` on the landed
+    union.  The fold is a tiny integer aggregate over groups × levels
+    rows per batch (NULL dim values group together natively; the level
+    bitmask keeps real NULLs and subtotals apart, exactly as in the
+    batch operator)."""
+    rollups = _read_parquet_if_exists(
+        spark, os.path.join(state_dir, "rollups")
+    )
+    if rollups is None:
+        raise ValueError(f"no mix stream state at {state_dir}")
+    return rollups.groupBy(*dims, "level").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_chars").alias("total_chars"),
+    )
+
+
+def start_mix_report(
+    doc_feed: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    dims: tuple = ("lang", "source"),
+    **trigger,
+):
+    """Streaming mixture report: semantics, state layout, and replay
+    contract on ``mix_report_batch``."""
+    sid = stream_id_for(checkpoint_dir)
+    return (
+        doc_feed.writeStream.foreachBatch(
+            lambda df, bid: mix_report_batch(
+                df, bid, state_dir, dims, stream_id=sid
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

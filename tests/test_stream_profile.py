@@ -85,3 +85,59 @@ def test_stream_profile_real_stream(spark, tmp_path):
     got = read_stream_profile(spark, state).collect()[0]
     exp = _expected(spark, B1, B2)
     assert got.asDict() == exp.asDict()
+
+
+# --- streaming mix report --------------------------------------------------
+
+from simplepolygon_spark.operators.corpus import mix_report
+from simplepolygon_spark.streaming.feed import (
+    mix_report_batch,
+    read_stream_mix,
+)
+
+
+def _mdocs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"]),
+    ).selectExpr("CAST(doc_id AS LONG) doc_id", "text", "lang", "source")
+
+
+M1 = [
+    (0, "aa", "en", "web"),
+    (1, "bbbb", "en", "book"),
+    (2, "c", None, "web"),  # REAL NULL dim — must stay apart from subtotals
+    (3, None, "de", "web"),
+]
+M2 = [
+    (4, "dd", "en", "web"),
+    (5, "ee", None, "web"),
+    (6, "ffffff", "fr", "book"),
+]
+
+
+def _mix_set(df):
+    return {
+        (r.lang, r.source, r.level, r.n_docs, r.total_chars)
+        for r in df.collect()
+    }
+
+
+def test_stream_mix_equals_batch_and_replays(spark, tmp_path):
+    state = str(tmp_path / "mixstate")
+    mix_report_batch(_mdocs(spark, M1), 0, state)
+    assert _mix_set(read_stream_mix(spark, state)) == _mix_set(
+        mix_report(_mdocs(spark, M1))
+    )
+    mix_report_batch(_mdocs(spark, M2), 1, state)
+    want = _mix_set(mix_report(_mdocs(spark, M1 + M2)))
+    assert _mix_set(read_stream_mix(spark, state)) == want
+    # replay the last batch — unchanged
+    mix_report_batch(_mdocs(spark, M2), 1, state)
+    assert _mix_set(read_stream_mix(spark, state)) == want
+
+
+def test_stream_mix_dims_change_fails_loudly(spark, tmp_path):
+    state = str(tmp_path / "mixstate")
+    mix_report_batch(_mdocs(spark, M1), 0, state)
+    with pytest.raises(ValueError, match="dims|meta|store"):
+        mix_report_batch(_mdocs(spark, M2), 1, state, dims=("lang",))
