@@ -2107,6 +2107,91 @@ def _q_pipeline_select_sql():
     """
 
 
+def q_pipeline_full(spark, sf_dir):
+    """pipeline_select CARRIED TO THE DATA ADDRESS a training run
+    reads: selection (quality → decontam → canonicalize → budget) →
+    leakage-safe split → deterministic shard/pos — every stage the
+    already-gated operator, composed.  The split runs
+    ``leakage_safe_split`` with the near-dup pairs RECOMPUTED over the
+    selected corpus: canonicalization makes that pair set empty, so
+    every selected doc is its own cluster — the oracle proves the same
+    emptiness from its true-Jaccard pair CTE rather than assuming it
+    (a residual pair in either engine would hash-mismatch loudly)."""
+    from simplepolygon_spark.operators.corpus import prepare_training_corpus
+    from simplepolygon_spark.operators.dedup import minhash_dup_pairs
+    from simplepolygon_spark.operators.sampling import (
+        leakage_safe_split,
+        shuffle_shards,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 10 == 0).select("text")
+    sel = prepare_training_corpus(
+        d, bench, {"en": 3000, "de": 2000}, default_budget=1200
+    )
+    seltext = sel.join(d.select("doc_id", "text"), "doc_id")
+    pairs = minhash_dup_pairs(seltext, threshold=0.8)
+    split = leakage_safe_split(seltext.select("doc_id"), pairs)
+    shards = shuffle_shards(sel.select("doc_id"), n_shards=8)
+    return (
+        sel.join(split.select("doc_id", "split"), "doc_id")
+        .join(shards.select("doc_id", "shard", "pos"), "doc_id")
+        .select(
+            "doc_id", "lang", "n_tokens", "cum_tokens", "split", "shard", "pos"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_pipeline_full_sql():
+    from simplepolygon_spark.operators.sampling import split_hex_threshold
+
+    t_train = split_hex_threshold(0.9)
+    base = _q_pipeline_select_sql()
+    # wrap pipeline_select's proven chain as `sel`, then extend it with
+    # the split + shard fragments (leakage_split / shuffle_export rules)
+    head, tail = base.split("SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens", 1)
+    assert tail is not None
+    return (
+        head
+        + ", sel AS (SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens"
+        + tail
+        + f"""
+        ),
+        selpairs AS (
+          SELECT a, b FROM prs
+          WHERE a IN (SELECT doc_id FROM sel) AND b IN (SELECT doc_id FROM sel)
+        ),
+        seledges AS (SELECT a, b FROM selpairs
+                     UNION ALL SELECT b AS a, a AS b FROM selpairs),
+        selnodes AS (SELECT DISTINCT a AS node FROM seledges),
+        selreach(node, r) AS (
+          SELECT node, node FROM selnodes
+          UNION
+          SELECT selreach.node, e.b FROM selreach JOIN seledges e ON e.a = selreach.r
+        ),
+        selclus AS (SELECT node AS doc_id, min(r) AS cluster_id
+                    FROM selreach GROUP BY node),
+        assigned AS (
+          SELECT s.*,
+                 CASE WHEN md5('split:' || CAST(coalesce(c.cluster_id, s.doc_id) AS VARCHAR))
+                           < '{t_train}'
+                      THEN 'train' ELSE 'eval' END AS split
+          FROM sel s LEFT JOIN selclus c ON c.doc_id = s.doc_id
+        ),
+        keyed AS (
+          SELECT *, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS k,
+                 CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard
+          FROM assigned
+        )
+        SELECT doc_id, lang, n_tokens, cum_tokens, split, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM keyed
+    """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "decompose_rings": q_decompose_rings,
@@ -2162,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "token_budget": q_token_budget,
         "pipeline_select": q_pipeline_select,
+        "pipeline_full": q_pipeline_full,
     }
 
 
@@ -2220,4 +2306,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _q_tfidf_topk_sql(),
         "token_budget": _q_token_budget_sql(),
         "pipeline_select": _q_pipeline_select_sql(),
+        "pipeline_full": _q_pipeline_full_sql(),
     }
