@@ -575,6 +575,62 @@ def _q_snapshot_diff_sql():
     """
 
 
+def q_overlap_join(spark, sf_dir):
+    """Polygon↔polygon overlap join over two synthesized square layers
+    (grid from doc_id arithmetic; layer B shifted by (0.45, 0.35) with
+    a smaller side).  For axis-aligned squares, interiors-intersect ≡
+    STRICT bbox overlap, so the DuckDB oracle is an exact strict-
+    inequality join — gating the full distributed path (cover melt,
+    bucket equi-join, larger-cell-FULL accept rule, exact refine
+    kernel) cross-engine; concave/crossing geometry is pytest-gated vs
+    an independent brute-force reference (test_overlap.py)."""
+    from simplepolygon_spark.operators.overlap import overlap_join
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    x = (F.col("doc_id") % 17).cast("double")
+    y = F.floor(F.col("doc_id") / 17).cast("double")
+
+    def square(x0, y0, s):
+        return F.array(
+            F.array(x0, y0),
+            F.array(x0 + s, y0),
+            F.array(x0 + s, y0 + s),
+            F.array(x0, y0 + s),
+            F.array(x0, y0),
+        )
+
+    a = d.select(
+        F.col("doc_id").cast("string").alias("polygon_id"),
+        F.lit(0).alias("ring_index"),
+        square(x, y, F.lit(1.2)).alias("coords"),
+    )
+    b = d.select(
+        F.col("doc_id").cast("string").alias("polygon_id"),
+        F.lit(0).alias("ring_index"),
+        square(x + F.lit(0.45), y + F.lit(0.35), F.lit(0.8)).alias("coords"),
+    )
+    return (
+        overlap_join(a, b)
+        .select("a_polygon_id", "b_polygon_id")
+        .orderBy("a_polygon_id", "b_polygon_id")
+    )
+
+
+def _q_overlap_join_sql():
+    return """
+        WITH g AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id,
+                 CAST(doc_id % 17 AS DOUBLE) AS x,
+                 CAST(doc_id // 17 AS DOUBLE) AS y
+          FROM documents WHERE doc_id < 300
+        )
+        SELECT a.id AS a_polygon_id, b.id AS b_polygon_id
+        FROM g a JOIN g b
+          ON a.x < (b.x + 0.45) + 0.8 AND (b.x + 0.45) < a.x + 1.2
+         AND a.y < (b.y + 0.35) + 0.8 AND (b.y + 0.35) < a.y + 1.2
+    """
+
+
 def q_patch_grid(spark, sf_dir):
     """ViT patchification grid (patch=8, stride=6): the image twin of
     q:chunks.  The images table's bytes aren't DuckDB-visible, so the
@@ -2198,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_ids": q_cell_ids,
         "pip_join": q_pip_join,
         "pip_join_relational": q_pip_join_relational,
+        "overlap_join": q_overlap_join,
         "knn": q_knn,
         "window_lead": q_window_lead,
         "minby_leftmost": q_minby_leftmost,
@@ -2256,6 +2313,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_ids": _q_cell_ids_sql(),
         "pip_join": _q_pip_join_sql(),
         "pip_join_relational": _q_pip_join_sql(),
+        "overlap_join": _q_overlap_join_sql(),
         "knn": _q_knn_sql(),
         "window_lead": _q_window_lead_sql(),
         "minby_leftmost": _q_minby_sql(),

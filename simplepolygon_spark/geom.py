@@ -304,3 +304,52 @@ def js_number_string(v: float) -> str:
     e = n - 1
     mant_s = d if k == 1 else d[0] + "." + d[1:]
     return sign + mant_s + ("e+" if e >= 0 else "e-") + str(abs(e))
+
+
+def rings_overlap(a: np.ndarray, b: np.ndarray) -> bool:
+    """True iff the interiors of two simple rings intersect — the
+    pairwise refine predicate of ``operators.overlap.overlap_join``.
+
+    Decision ladder (cheapest first):
+      1. bbox-disjoint → False.
+      2. identical coordinate arrays → True (every probe below lies ON
+         the twin's boundary, so only this case needs the shortcut).
+      3. any PROPER cross-ring edge crossing → True (reuses
+         ``segment_intersections`` on the stacked edge sets, filtered
+         to pairs that span both rings — the same discovery kernel the
+         decomposition uses, /root/reference/src/index.ts:68-113).
+      4. containment probes: any vertex OR edge midpoint of one ring
+         STRICTLY inside the other (``point_in_ring_batch``,
+         ignoreBoundary semantics) → True.
+
+    Contract/limits: "interiors intersect".  Touch-only contacts
+    (shared vertex, edge-on-edge slide) report False — consistent with
+    the discovery kernel, which discards shared endpoints and collinear
+    overlaps; a containment whose probes all land exactly on the other
+    boundary (other than the identical-ring case) is likewise treated
+    as touching.  Simple rings in, as produced by the decomposition."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if (
+        a[:, 0].min() > b[:, 0].max()
+        or b[:, 0].min() > a[:, 0].max()
+        or a[:, 1].min() > b[:, 1].max()
+        or b[:, 1].min() > a[:, 1].max()
+    ):
+        return False
+    if a.shape == b.shape and np.array_equal(a, b):
+        return True
+    ea = np.hstack([a[:-1], a[1:]])
+    eb = np.hstack([b[:-1], b[1:]])
+    na = len(ea)
+    ii, jj, *_ = segment_intersections(np.vstack([ea, eb]))
+    if np.any((ii < na) & (jj >= na)):
+        return True
+    for probe_src, other in ((a, b), (b, a)):
+        verts = probe_src[:-1]
+        mids = (probe_src[:-1] + probe_src[1:]) / 2.0
+        px = np.concatenate([verts[:, 0], mids[:, 0]])
+        py = np.concatenate([verts[:, 1], mids[:, 1]])
+        if point_in_ring_batch(px, py, other).any():
+            return True
+    return False

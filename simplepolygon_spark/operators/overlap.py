@@ -1,0 +1,150 @@
+"""Polygon ↔ polygon overlap join — the classic spatial join over two
+ring layers ("which footprints intersect which zones").
+
+Shape: both layers are covered with FULL/PARTIAL Morton ranges
+(``crosswalk.covers_df`` — the one cover kernel every spatial operator
+here shares), ranges melt onto coarse Morton BUCKETS and equi-join
+there, nested-range logic accepts pairs a covering cell already proves
+(the larger range FULL ⇒ the smaller cell's region lies in its
+interior), and only the surviving candidates run the exact
+``geom.rings_overlap`` predicate — proper cross-edge crossings via the
+decomposition's own discovery kernel plus strict containment probes.
+
+Scale: no all-pairs anywhere — candidates exist only where covers share
+a bucket; the cover rows are ~cells-per-ring × 40 B; the only data
+wider than ids in motion is the candidate pairs' coordinate arrays,
+pulled once for refine-needing pairs only.  Hot buckets (a dense city
+block) are equi-join keys AQE can split; cover_level trades candidate
+precision against cover size exactly as in the PIP join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..cells import MAX_LEVEL
+from ..geom import rings_overlap
+from .crosswalk import covers_df
+
+
+def _bucketed_covers(
+    rings: DataFrame, side: str, cover_level: int, bucket_level: int
+) -> DataFrame:
+    shift = 2 * (MAX_LEVEL - bucket_level)
+    cov = covers_df(rings, cover_level, MAX_LEVEL)
+    return cov.select(
+        F.col("polygon_id").alias(f"{side}_polygon_id"),
+        F.col("ring_index").alias(f"{side}_ring_index"),
+        F.col("lo").alias(f"{side}_lo"),
+        F.col("hi").alias(f"{side}_hi"),
+        F.col("full").alias(f"{side}_full"),
+        F.explode(
+            F.sequence(
+                F.shiftright("lo", shift), F.shiftright("hi", shift)
+            )
+        ).alias("bucket"),
+    )
+
+
+def overlap_join(
+    rings_a: DataFrame,
+    rings_b: DataFrame,
+    cover_level: int = 10,
+    bucket_level: int = 6,
+) -> DataFrame:
+    """(a_polygon_id, a_ring_index, b_polygon_id, b_ring_index): every
+    pair whose ring INTERIORS intersect (``geom.rings_overlap``
+    contract: touch-only contacts excluded).  Both inputs are
+    rings_out-shaped frames (polygon_id, ring_index, coords) — e.g. two
+    decomposed footprint layers.
+
+    Candidate logic on nested Morton ranges (ranges of cover cells
+    either nest or are disjoint): a candidate is any bucket-sharing,
+    range-overlapping cover pair; it is ACCEPTED without geometry when
+    the LARGER (containing) range is FULL — the smaller cell's region
+    then lies inside the larger ring's interior while carrying boundary
+    or interior of the smaller ring, so the interiors provably meet.
+    (The converse — smaller range FULL, larger PARTIAL — proves
+    nothing: the larger ring's boundary crosses its own big cell
+    somewhere, not necessarily inside the small region.)  Everything
+    else refines with the exact kernel, coordinates pulled for those
+    pairs only."""
+    ca = _bucketed_covers(rings_a, "a", cover_level, bucket_level)
+    cb = _bucketed_covers(rings_b, "b", cover_level, bucket_level)
+    ids = ["a_polygon_id", "a_ring_index", "b_polygon_id", "b_ring_index"]
+    a_contains = (F.col("a_lo") <= F.col("b_lo")) & (
+        F.col("a_hi") >= F.col("b_hi")
+    )
+    b_contains = (F.col("b_lo") <= F.col("a_lo")) & (
+        F.col("b_hi") >= F.col("a_hi")
+    )
+    cand = (
+        ca.join(cb, "bucket")
+        .where(
+            (F.col("a_lo") <= F.col("b_hi")) & (F.col("b_lo") <= F.col("a_hi"))
+        )
+        .select(
+            *ids,
+            (
+                (a_contains & (F.col("a_full") == 1))
+                | (b_contains & (F.col("b_full") == 1))
+            ).alias("accept"),
+        )
+        .groupBy(*ids)
+        .agg(F.max("accept").alias("accept"))
+    )
+    accepted = cand.where("accept").select(*ids)
+
+    need = cand.where(~F.col("accept")).select(*ids)
+    wa = rings_a.select(
+        F.col("polygon_id").alias("a_polygon_id"),
+        F.col("ring_index").alias("a_ring_index"),
+        F.col("coords").alias("a_coords"),
+    )
+    wb = rings_b.select(
+        F.col("polygon_id").alias("b_polygon_id"),
+        F.col("ring_index").alias("b_ring_index"),
+        F.col("coords").alias("b_coords"),
+    )
+    paired = need.join(wa, ["a_polygon_id", "a_ring_index"]).join(
+        wb, ["b_polygon_id", "b_ring_index"]
+    )
+
+    schema = (
+        "a_polygon_id string, a_ring_index int, "
+        "b_polygon_id string, b_ring_index int, hit boolean"
+    )
+
+    def refine(batches):
+        for batch in batches:
+            pdf = batch.to_pydict()
+            hits = []
+            for ac, bc in zip(pdf["a_coords"], pdf["b_coords"]):
+                A = np.asarray([list(c) for c in ac], dtype=np.float64)
+                B = np.asarray([list(c) for c in bc], dtype=np.float64)
+                hits.append(bool(rings_overlap(A, B)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(pdf["a_polygon_id"], pa.string()),
+                    pa.array(pdf["a_ring_index"], pa.int32()),
+                    pa.array(pdf["b_polygon_id"], pa.string()),
+                    pa.array(pdf["b_ring_index"], pa.int32()),
+                    pa.array(hits, pa.bool_()),
+                ],
+                names=[
+                    "a_polygon_id",
+                    "a_ring_index",
+                    "b_polygon_id",
+                    "b_ring_index",
+                    "hit",
+                ],
+            )
+
+    refined = (
+        paired.mapInArrow(refine, schema).where("hit").select(*ids)
+    )
+    return accepted.unionByName(refined)
