@@ -128,6 +128,31 @@ def main() -> None:
         .where((F.col("psnr_db") < 40) | ~F.col("caption_ok"))
         .count(),
     )
+    # ring×ring overlap join: a decomposed grid layer vs a copy shifted
+    # by half a cell — each ring overlaps ~4 of the other layer
+    from simplepolygon_spark.operators.overlap import overlap_join
+
+    rings_a = decompose_polygons(footprints_df(spark, grid=24)).persist()
+    n_ov_rings = rings_a.count()
+    half = 360.0 / 24 / 2.0
+    rings_b = rings_a.select(
+        "polygon_id",
+        "ring_index",
+        F.transform(
+            "coords",
+            lambda c: F.array(
+                c[0] + F.lit(half), c[1] + F.lit(half / 2.0)
+            ),
+        ).alias("coords"),
+    )
+    timed(
+        "overlap_join",
+        lambda: overlap_join(
+            rings_a, rings_b, cover_level=8, bucket_level=7
+        ).count(),
+    )
+    rings_a.unpersist()
+
     from simplepolygon_spark.operators.payload import image_embeddings
 
     # decode → resize → project → normalize over 20k real-byte images

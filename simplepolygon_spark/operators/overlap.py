@@ -54,7 +54,7 @@ def overlap_join(
     rings_a: DataFrame,
     rings_b: DataFrame,
     cover_level: int = 10,
-    bucket_level: int = 6,
+    bucket_level: int = 8,
 ) -> DataFrame:
     """(a_polygon_id, a_ring_index, b_polygon_id, b_ring_index): every
     pair whose ring INTERIORS intersect (``geom.rings_overlap``
