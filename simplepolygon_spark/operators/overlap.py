@@ -96,6 +96,12 @@ def overlap_join(
         )
         .groupBy(*ids)
         .agg(F.max("accept").alias("accept"))
+        # one row per candidate PAIR (tiny vs covers) — materialize so
+        # the accepted branch and the refine branch don't each re-run
+        # the two cover passes and the bucket join (same eager-candidate
+        # pattern as embedding_dup_pairs_lsh); no cached frame outlives
+        # the call
+        .localCheckpoint(eager=True)
     )
     accepted = cand.where("accept").select(*ids)
 
