@@ -154,3 +154,21 @@ def overlap_join(
         paired.mapInArrow(refine, schema).where("hit").select(*ids)
     )
     return accepted.unionByName(refined)
+
+
+def overlap_self(rings: DataFrame, **kwargs) -> DataFrame:
+    """(a_polygon_id, a_ring_index, b_polygon_id, b_ring_index): every
+    UNORDERED pair of DISTINCT rings within one layer whose interiors
+    intersect — the layer-QA query ("which footprints in this delivery
+    overlap each other").  ``overlap_join`` of the layer with itself,
+    keeping each pair once under (polygon_id, ring_index) order and
+    dropping the identity pairs the self-join trivially produces.
+    Same kwargs and cost shape as ``overlap_join``."""
+    out = overlap_join(rings, rings, **kwargs)
+    return out.where(
+        (F.col("a_polygon_id") < F.col("b_polygon_id"))
+        | (
+            (F.col("a_polygon_id") == F.col("b_polygon_id"))
+            & (F.col("a_ring_index") < F.col("b_ring_index"))
+        )
+    )

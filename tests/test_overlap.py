@@ -191,3 +191,27 @@ def test_overlap_join_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_overlap_self_dedupes_and_drops_identity(spark):
+    """Self-join QA form: each overlapping pair once, no identity
+    rows; matches brute force on the mixed fixture layer."""
+    from simplepolygon_spark.operators.overlap import overlap_self
+
+    layer = dict(LAYER_A)
+    layer[("a5", 0)] = _sq(0.5, 0.5, 1.0)   # overlaps a0
+    layer[("a6", 0)] = _sq(2.2, 0.2, 0.5)   # inside a1
+    got = {
+        (r.a_polygon_id, r.b_polygon_id)
+        for r in overlap_self(_rings_df(spark, layer)).collect()
+    }
+    keys = sorted(layer)
+    want = {
+        (ka[0], kb[0])
+        for i, ka in enumerate(keys)
+        for kb in keys[i + 1 :]
+        if _ref_overlap(layer[ka], layer[kb])
+    }
+    assert got == want
+    assert ("a0", "a5") in got and ("a1", "a6") in got
+    assert all(a != b for a, b in got)
