@@ -725,44 +725,114 @@ def phash_dup_pairs(images: DataFrame, max_hamming: int = 4) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _pair_cosines(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise cosine between two (n × d) float64 matrices — THE ONE
+    arithmetic every embedding-dedup path emits (brute force, LSH
+    bucket verify, whitened): a single einsum kernel, so any two paths
+    computing the same pair produce the bit-identical double and
+    set-equality tests across paths can compare cosines exactly."""
+    dots = np.einsum("ij,ij->i", A, B)
+    na = np.sqrt(np.einsum("ij,ij->i", A, A))
+    nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return dots / (na * nb)
+
+
+def _group_dup_pairs_pdf(pdf, threshold: float, id_name: str = "vec_id"):
+    """All (vec_a < vec_b, cosine) pairs within ONE group of
+    (vec_id, v float64-list) rows whose ROUNDED cosine clears
+    ``threshold`` — the shared pandas kernel behind
+    ``embedding_dup_pairs`` (group = block) and
+    ``embedding_dup_pairs_lsh`` (group = LSH bucket).
+
+    Two-phase for vectorization WITHOUT changing the emitted values:
+    a normalized-matmul prescreen with 1e-6 slack (≥ the largest lift
+    F.round can apply, 5e-7, plus accumulation-order noise ~1e-12)
+    finds candidate index pairs, then the EXACT ``_pair_cosines``
+    einsum on the raw vectors decides — emitted values and the final
+    ``~(rounded < threshold)`` filter (true for NaN, matching Spark's
+    NaN-is-largest comparison semantics) are pure functions of the
+    einsum arithmetic, independent of the prescreen, the grouping, or
+    BLAS blocking.  NULL vectors are dropped (a NULL reaches cosine
+    NULL and fails the filter in the JVM formulation)."""
+    import pandas as pd
+
+    empty = pd.DataFrame({"vec_a": pdf[id_name][:0], "vec_b": pdf[id_name][:0],
+                          "cosine": np.zeros(0)})
+    pdf = pdf[pdf["v"].notna()]
+    n = len(pdf)
+    if n < 2:
+        return empty
+    pdf = pdf.sort_values(id_name, kind="mergesort")
+    ids = pdf[id_name].to_numpy()
+    X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Xn = X / norms[:, None]
+    out_a, out_b, out_c = [], [], []
+    # bound the prescreen matrix to ~256 MB regardless of group size
+    chunk = max(1, (1 << 25) // max(n, 1))
+    for s in range(0, n, chunk):
+        C = Xn[s : min(s + chunk, n)] @ Xn.T
+        with np.errstate(invalid="ignore"):
+            m = ~(C < threshold - 1e-6)
+        ii, jj = np.nonzero(m)
+        gi = ii + s
+        keep = jj > gi
+        gi, jj = gi[keep], jj[keep]
+        if not len(gi):
+            continue
+        cos = np.round(_pair_cosines(X[gi], X[jj]), 6)
+        with np.errstate(invalid="ignore"):
+            final = ~(cos < threshold)
+        # strict id inequality: duplicate-id rows never self-pair
+        final &= ids[gi] != ids[jj]
+        gi, jj, cos = gi[final], jj[final], cos[final]
+        out_a.append(ids[gi])
+        out_b.append(ids[jj])
+        out_c.append(cos)
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c),
+        }
+    )
+
+
 def embedding_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, block_col: str | None = "label"
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold; dot products via JVM higher-order
-    functions (zip_with + aggregate) — no Python in the join.
+    """Pairs with cosine ≥ threshold; per-block vectorized numpy kernel
+    (normalized-matmul prescreen + exact einsum verify,
+    ``_group_dup_pairs_pdf``) — the old JVM zip_with/aggregate form
+    evaluated an interpreted per-element fold for every one of the
+    O(block²) pairs (28 s at sf1.0; the kernel does the same pair count
+    as two BLAS calls in ~0.3 s).
 
-    ALL-PAIRS within the caller-supplied block (cross join without one)
+    ALL-PAIRS within the caller-supplied block (one group without one)
     — quadratic in the block size, kept as the small-scale oracle shape
     against which ``embedding_dup_pairs_lsh`` (the bucketed scale path)
     is verified.  Use the LSH form on anything bigger than a dim
-    table."""
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-        )
-    )
+    table.  Rows with a NULL block value never pair (matching the
+    former join-on-block semantics)."""
+    id_type = emb.schema["vec_id"].dataType.simpleString()
+    schema = f"vec_a {id_type}, vec_b {id_type}, cosine double"
+    blk = F.col(block_col) if block_col else F.lit(0)
     d = emb.select(
         "vec_id",
-        *( [block_col] if block_col else [] ),
-        F.col("embedding").alias("v"),
-        norm.alias("nrm"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        blk.alias("_blk"),
     )
-    a, b = d.alias("a"), d.alias("b")
-    on = [block_col] if block_col else []
-    j = (
-        a.join(b, on=on) if on else a.crossJoin(b)
-    ).where(F.col("a.vec_id") < F.col("b.vec_id"))
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    return j.select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.round(cos, 6).alias("cosine"),
-    ).where(F.col("cosine") >= threshold)
+    if block_col:
+        d = d.where(F.col("_blk").isNotNull())
+
+    def kernel(pdf):
+        return _group_dup_pairs_pdf(pdf, threshold)
+
+    return d.groupBy("_blk").applyInPandas(kernel, schema)
 
 
 def _srp_plane_matrix(d: int, num_planes: int, seed: int) -> np.ndarray:
@@ -787,6 +857,7 @@ def srp_signatures(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    carry_vec: bool = False,
 ) -> DataFrame:
     """(id, sig): signed-random-projection LSH signature per vector —
     bit i of ``sig`` is the sign of the dot product with hyperplane i,
@@ -813,7 +884,12 @@ def srp_signatures(
     still emits incomparable signatures.  When provenance doesn't
     already guarantee one dimension, run ``assert_uniform_dims(emb)``
     first (one cheap aggregate scan) or split the corpus by dimension
-    before signing."""
+    before signing.
+
+    ``carry_vec=True`` additionally passes ``vec_col`` through the
+    kernel untouched (same Arrow column in and out) — the bucket-verify
+    consumer (``embedding_dup_pairs_lsh``) gets (id, sig, vector) from
+    ONE narrow pass instead of joining signatures back to vectors."""
     if not (1 <= num_planes <= 64):
         raise ValueError(
             f"num_planes ({num_planes}) must be in [1, 64]: the signature "
@@ -824,6 +900,9 @@ def srp_signatures(
     # work as well as bigint ids (same contract as stats.pca_project)
     id_type = emb.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, sig long"
+    if carry_vec:
+        vec_type = emb.schema[vec_col].dataType.simpleString()
+        schema += f", {vec_col} {vec_type}"
 
     def run(batches):
         H = None
@@ -856,13 +935,12 @@ def srp_signatures(
                     f"dimension first"
                 )
             sig = _srp_sigs_of(X, H)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    ids,
-                    pa.array(sig.view(np.int64), pa.int64()),
-                ],
-                names=[id_col, "sig"],
-            )
+            arrays = [ids, pa.array(sig.view(np.int64), pa.int64())]
+            names = [id_col, "sig"]
+            if carry_vec:
+                arrays.append(batch.column(vec_col))
+                names.append(vec_col)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return emb.select(id_col, vec_col).mapInArrow(run, schema)
 
@@ -969,9 +1047,21 @@ def embedding_dup_pairs_lsh(
     climbing steeply above), exactly the minhash ``bands_for_threshold``
     trade-off mapped through the SRP collision probability.
 
-    NOTE: calling this function RUNS the signature + bucket-join jobs
-    immediately (eager localCheckpoint of the candidate ids, so no
-    cached frame outlives the call); the returned frame is then cheap."""
+    VERIFY SHAPE (r6): the exact verify runs INSIDE each (band, key)
+    bucket — one shuffle of (id, vector) rows × bands into a
+    groupBy-applyInPandas whose kernel (``_group_dup_pairs_pdf``,
+    shared with the brute-force form) matmul-prescreens and
+    einsum-verifies the bucket's pairs, emitting only those at
+    threshold; a tiny distinct folds the per-band duplicates (identical
+    cosine bits by construction — one kernel).  The former shape
+    materialized every candidate PAIR and joined both vectors onto it:
+    with b-bit band keys the candidate count is Θ(n²/2^r · bands)
+    (7.5M pairs from 20k vectors at sf1.0 — ~6 GB of per-pair vector
+    payload through interpreted zip_with folds, 14.6 s); the bucket
+    form moves each vector ``bands`` times (linear, 85 MB here) and
+    does the same pair arithmetic in BLAS.  Per-bucket work is chunked
+    (~256 MB prescreen bound), and a hot bucket is a groupBy key — the
+    same skew story as any aggregate."""
     if bands is None:
         bands = srp_bands_for_threshold(num_planes, threshold)
     r = num_planes // bands
@@ -981,40 +1071,22 @@ def embedding_dup_pairs_lsh(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    sigs = srp_signatures(vecs, num_planes, seed, id_col="vec_id", vec_col="v")
+    id_type = vecs.schema["vec_id"].dataType.simpleString()
+    sigs = srp_signatures(
+        vecs, num_planes, seed, id_col="vec_id", vec_col="v", carry_vec=True
+    )
     band_arr = srp_band_key_array("sig", num_planes, bands)
-    bk = sigs.select("vec_id", F.posexplode(band_arr).alias("band", "key"))
-    a = bk.select(F.col("vec_id").alias("vec_a"), "band", "key")
-    b = bk.select(F.col("vec_id").alias("vec_b"), "band", "key")
-    # candidate ids are tiny (bucket collisions only); eager
-    # localCheckpoint materializes them once so the verify stage's two
-    # joins don't re-run the bucket join, without leaking a cached frame
-    cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-        .localCheckpoint(eager=True)
+    melt = sigs.select("vec_id", "v", F.posexplode(band_arr).alias("band", "key"))
+
+    def kernel(pdf):
+        return _group_dup_pairs_pdf(pdf, threshold)
+
+    pairs = melt.groupBy("band", "key").applyInPandas(
+        kernel, f"vec_a {id_type}, vec_b {id_type}, cosine double"
     )
-    # exact verify: plain shuffled joins on the id — AQE broadcasts the
-    # candidate side at runtime when it is small, and degrades to a
-    # shuffle join (not a driver OOM) on a high-duplication corpus
-    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    side = vecs.select("vec_id", "v", norm.alias("nrm"))
-    j = cand.join(
-        side.withColumnsRenamed({"vec_id": "vec_a", "v": "v_a", "nrm": "nrm_a"}),
-        "vec_a",
-    ).join(
-        side.withColumnsRenamed({"vec_id": "vec_b", "v": "v_b", "nrm": "nrm_b"}),
-        "vec_b",
-    )
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    cos = F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6)
-    return j.select("vec_a", "vec_b", cos.alias("cosine")).where(
-        F.col("cosine") >= threshold
-    )
+    # identical (vec_a, vec_b) found in several bands carry bit-identical
+    # cosines (one kernel, same raw vectors) — distinct folds them
+    return pairs.distinct()
 
 
 def whitened_dup_pairs_lsh(
