@@ -487,21 +487,15 @@ def q_quantize(spark, sf_dir):
     so q AND the double qscale hash bit-for-bit against DuckDB with no
     rounding escape hatch.  floor(+0.5) is deliberate: Spark round()
     is HALF_UP, DuckDB's HALF_EVEN — the explicit form is the one
-    rule both engines evaluate identically."""
-    from simplepolygon_spark.operators.similarity import quantize_embeddings
+    rule both engines evaluate identically.  Uses the flattened
+    scalar-codegen form (``quantize_embeddings_long``, r6): identical
+    rule and rows (pinned equal to posexplode(quantize_embeddings) by
+    test), ~2x faster — the array form pays an interpreted HOF eval
+    per element."""
+    from simplepolygon_spark.operators.similarity import quantize_embeddings_long
 
-    qd = quantize_embeddings(_read(spark, sf_dir, "embeddings"))
-    return (
-        qd.select(
-            "vec_id", F.posexplode("qvec").alias("i", "q8"), "qscale"
-        )
-        .select(
-            "vec_id",
-            F.col("i").cast("int").alias("i"),
-            F.col("q8").cast("int").alias("q"),
-            "qscale",
-        )
-        .orderBy("vec_id", "i")
+    return quantize_embeddings_long(_read(spark, sf_dir, "embeddings")).orderBy(
+        "vec_id", "i"
     )
 
 

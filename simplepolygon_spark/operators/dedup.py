@@ -365,13 +365,20 @@ def minhash_dup_pairs(
     immediately (eager localCheckpoint — the price of releasing the
     intermediate sig/candidate caches deterministically instead of
     leaking them for the session); the returned frame is then cheap."""
-    # rebalance (opt-in): a small single-file table arrives as one
-    # split and serializes the Arrow signature kernel — pass a target
-    # partition count to spread it.  Deliberately NOT the default: at
-    # warehouse scale the table already has many splits and an
-    # unconditional repartition would shuffle the whole text corpus.
+    # rebalance: a small single-file table arrives as one split and
+    # serializes the Arrow signature kernel — spread it.  An explicit
+    # count wins; the default (None) is SCALE-ADAPTIVE: repartition to
+    # defaultParallelism only when the input has fewer splits than
+    # cores (guide §2 — derive partitioning from the input, don't pin a
+    # constant).  At warehouse scale the table already has many splits,
+    # the condition never fires, and the text corpus is not shuffled;
+    # pass rebalance=0/False to force the old no-repartition behavior.
     if rebalance:
         docs = docs.repartition(rebalance)
+    elif rebalance is None:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
     if bands is None:
         bands = bands_for_threshold(num_hashes, threshold)
     if num_hashes % bands != 0:

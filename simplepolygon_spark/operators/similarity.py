@@ -498,16 +498,62 @@ def quantize_embeddings(
     int8) inside the probe kernel.  q:quantize gates the full rule
     cross-engine against DuckDB bit-for-bit — including qscale,
     because every step is shared-IEEE arithmetic on exact casts."""
+    # two projections, NOT one: the max|x| reduction is aliased in an
+    # inner projection and only REFERENCED (3x, non-cheaply) by the
+    # outer one, so CollapseProject keeps it a per-row column instead of
+    # inlining the whole array_max tree into the transform lambda —
+    # which the interpreted HOF evaluator would then re-run PER ELEMENT,
+    # making each row O(d^2) (measured 2x on the full flattened gate)
     v = F.col(vec_col).cast("array<double>")
-    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    qscale = mx / F.lit(127.0)
-    zero = F.transform(v, lambda x: F.lit(0).cast("tinyint"))
-    q = F.when(mx == F.lit(0.0), zero).otherwise(
-        F.transform(v, lambda x: F.floor(x / qscale + F.lit(0.5)).cast("tinyint"))
+    base = emb.select(F.col(id_col), v.alias("__v")).withColumn(
+        "__mx", F.array_max(F.transform("__v", lambda x: F.abs(x)))
     )
-    return emb.select(
+    mx = F.col("__mx")
+    qscale = mx / F.lit(127.0)
+    zero = F.transform("__v", lambda x: F.lit(0).cast("tinyint"))
+    q = F.when(mx == F.lit(0.0), zero).otherwise(
+        F.transform("__v", lambda x: F.floor(x / qscale + F.lit(0.5)).cast("tinyint"))
+    )
+    return base.select(
         F.col(id_col),
         q.alias("qvec"),
+        F.when(mx == F.lit(0.0), F.lit(0.0)).otherwise(qscale).alias("qscale"),
+    )
+
+
+def quantize_embeddings_long(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, i, q int, qscale): the FLATTENED row form of
+    ``quantize_embeddings`` — one row per vector element, the shape the
+    bit-for-bit cross-engine gate (q:quantize) compares.
+
+    Same IEEE rule, different evaluation order: the DOUBLE vector is
+    exploded FIRST and each element quantized as a scalar expression —
+    floor/divide run inside WholeStageCodegen at one eval per output
+    row, where the array form pays an interpreted higher-order-function
+    eval per element and a per-row array allocation before the explode
+    (measured 2x end-to-end on the sf1.0 gate).  Every arithmetic step
+    (float→double cast, abs/max, /127, floor(x/scale + 0.5)) is the
+    identical correctly-rounded IEEE expression, so the emitted rows
+    equal ``posexplode(quantize_embeddings(...).qvec)`` bit-for-bit
+    (pinned by test)."""
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col), v.alias("__v")).withColumn(
+        "__mx", F.array_max(F.transform("__v", lambda x: F.abs(x)))
+    )
+    mx = F.col("__mx")
+    qscale = mx / F.lit(127.0)
+    ex = base.select(id_col, "__mx", F.posexplode("__v").alias("i", "__x"))
+    q = F.when(mx == F.lit(0.0), F.lit(0)).otherwise(
+        # floor→tinyint→int equals floor→int for values in [-127, 127],
+        # which |x| <= max|x| guarantees; keep the direct int cast
+        F.floor(F.col("__x") / qscale + F.lit(0.5)).cast("int")
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("i").cast("int").alias("i"),
+        q.alias("q"),
         F.when(mx == F.lit(0.0), F.lit(0.0)).otherwise(qscale).alias("qscale"),
     )
 

@@ -170,3 +170,32 @@ def test_ivf_quantized_store(spark):
         ivf_topk(
             quantize_embeddings(emb), queries, C, k=k, probes=8, vec_col="qvec"
         )
+
+
+def test_quantize_long_equals_exploded_array_form(spark):
+    """The flattened scalar-codegen form (quantize_embeddings_long, the
+    q:quantize gate shape) is row-for-row BIT-identical to exploding
+    the array form — same IEEE rule, different evaluation order; the
+    zero-vector branch is exercised explicitly."""
+    from simplepolygon_spark.operators.similarity import (
+        quantize_embeddings,
+        quantize_embeddings_long,
+    )
+
+    emb = _emb(spark).select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(10**6, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+    )
+    via_array = (
+        quantize_embeddings(emb)
+        .select("vec_id", F.posexplode("qvec").alias("i", "q8"), "qscale")
+        .selectExpr("vec_id", "CAST(i AS INT) i", "CAST(q8 AS INT) q", "qscale")
+    )
+    long_form = quantize_embeddings_long(emb)
+    a = sorted(map(tuple, via_array.collect()))
+    b = sorted(map(tuple, long_form.collect()))
+    assert a == b
+    # long form stays JVM-only as well (no Python eval anywhere)
+    plan = long_form._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
