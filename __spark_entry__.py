@@ -806,8 +806,15 @@ def q_mix_report(spark, sf_dir):
     engine-exact."""
     from simplepolygon_spark.operators.corpus import mix_report
 
-    return mix_report(_read(spark, sf_dir, "documents")).orderBy(
-        "level", "lang", "source"
+    # total_chars cast double: DuckDB sum(len(text)) is HUGEINT, which
+    # lands as pandas float64 — the driver's result hash compares the
+    # materialized frames, so the engine side must carry the same
+    # representation (values are identical integers; oracle SQL is
+    # frozen this round, so the cast lives on the Spark side)
+    return (
+        mix_report(_read(spark, sf_dir, "documents"))
+        .withColumn("total_chars", F.col("total_chars").cast("double"))
+        .orderBy("level", "lang", "source")
     )
 
 
@@ -828,7 +835,20 @@ def q_profile(spark, sf_dir):
     so the report is engine-exact."""
     from simplepolygon_spark.operators.corpus import profile_corpus
 
-    return profile_corpus(_read(spark, sf_dir, "documents"))
+    # result-TYPE alignment with the frozen DuckDB oracle (values are
+    # identical): DuckDB CASE-sums land as pandas float64 (HUGEINT) and
+    # min/max(len()) as int64, vs Spark's bigint/int — cast the engine
+    # side so the driver hash compares equal representations
+    return profile_corpus(_read(spark, sf_dir, "documents")).select(
+        "n_docs",
+        F.col("null_text").cast("double").alias("null_text"),
+        F.col("empty_text").cast("double").alias("empty_text"),
+        "dup_docs",
+        "n_langs",
+        F.col("min_chars").cast("long").alias("min_chars"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+        F.col("total_chars").cast("double").alias("total_chars"),
+    )
 
 
 def _q_profile_sql():
@@ -1911,7 +1931,13 @@ def q_sessionize(spark, sf_dir):
     from simplepolygon_spark.operators.temporal import session_stats
 
     ev = _read(spark, sf_dir, "events")
-    return session_stats(ev, gap="12 hours")
+    # session_seq cast double: the frozen oracle's windowed sum() is
+    # HUGEINT → pandas float64; align the engine's representation so
+    # the driver hash matches (values are identical small integers,
+    # exact in a double)
+    return session_stats(ev, gap="12 hours").withColumn(
+        "session_seq", F.col("session_seq").cast("double")
+    )
 
 
 def _q_sessionize_sql():
@@ -1991,7 +2017,11 @@ def q_tfidf_topk(spark, sf_dir):
     from simplepolygon_spark.operators.tfidf import tfidf_topk_similar
 
     docs = _read(spark, sf_dir, "documents")
-    return tfidf_topk_similar(docs, k=3, max_df_frac=0.5)
+    # rank cast long: DuckDB row_number() is BIGINT (pandas int64) vs
+    # Spark's int — align the representation for the driver hash
+    return tfidf_topk_similar(docs, k=3, max_df_frac=0.5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 def _q_tfidf_topk_sql():

@@ -78,7 +78,13 @@ def tfidf_weights(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    dft = toks.groupBy("term").agg(
+    # df DERIVES FROM tf — tf already holds one row per (doc, term), so
+    # countDistinct(id) over tf's term groups equals countDistinct over
+    # the raw tokens, but (a) the corpus is tokenized ONCE (the tf
+    # subtree appears under both branches and ReuseExchange dedups its
+    # hash(id) shuffle — one tokenize+shuffle execution) and (b) the
+    # distinct-count expand runs over postings, not raw token rows
+    dft = tf.groupBy("term").agg(
         F.countDistinct(id_col).cast("double").alias("df")
     )
     if max_df_frac is not None:

@@ -120,22 +120,31 @@ def test_topk_matches_naive_dense(spark):
 
 
 def test_tfidf_weights_single_doc_exchange_plan(spark, tmp_path):
-    """The explicit repartition(doc_id) is the tf branch's ONLY
-    doc-partitioned exchange: the (doc, term) groupBy is subset-
-    satisfied by it and the per-doc norm window's sort sits directly
-    on the (partitioning-preserving) broadcast idf join (PLANS.md).
-    The df branch's exchanges are term-keyed, vocabulary-scale.
-    Parquet-backed input: the vocabulary-sized df frame broadcasts off
-    the scan statistics (on a stats-less in-memory frame the static
-    planner falls back to a term SMJ and AQE makes the same call at
-    runtime instead)."""
+    """The corpus is tokenized and doc-shuffled ONCE: the df branch
+    derives from the tf aggregate (r6), so the tokenize +
+    repartition(doc_id) subtree appears under both branches of the
+    plan but EXECUTES once — AQE stage reuse materializes the second
+    occurrence as a ReusedExchange in the final plan.  The (doc, term)
+    groupBy is subset-satisfied by that one exchange, the per-doc norm
+    window's sort sits directly on the (partitioning-preserving)
+    broadcast idf join, and the df branch's own exchange is
+    term-keyed, vocabulary-scale.  Asserted on the FINAL adaptive plan
+    (the frame is executed first): exactly one non-reused doc_id
+    exchange."""
     _docs(
         spark,
         [(i, f"shared term{i % 3} body number {i}") for i in range(12)],
     ).write.parquet(str(tmp_path / "docs"))
     docs = spark.read.parquet(str(tmp_path / "docs"))
-    plan = (
-        tfidf_weights(docs)._jdf.queryExecution().executedPlan().toString()
+    w = tfidf_weights(docs)
+    w.collect()  # finalize the adaptive plan
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, plan
+    # each ReusedExchange line repeats the reused exchange's
+    # description — subtract them to count real doc_id exchanges
+    real = final.count("hashpartitioning(doc_id") - final.count(
+        "ReusedExchange"
     )
-    assert plan.count("hashpartitioning(doc_id") == 1, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert real == 1, plan
+    assert "BroadcastHashJoin" in final, plan
