@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -125,20 +126,43 @@ def overlap_join(
         "b_polygon_id string, b_ring_index int, hit boolean"
     )
 
+    def ring_mats(col):
+        """One float64 (Σn_i, 2) matrix + per-row offsets from a
+        list<list<double>> Arrow column — the list buffers are re-sliced
+        (flatten honors offsets), never round-tripped through Python
+        objects; the old per-vertex ``list(c)`` hop dominated the refine
+        stage (VERDICT r5 #4).  NULLs are rejected loudly: flatten
+        silently drops them and would misalign every later row."""
+        if col.null_count or col.flatten().null_count:
+            raise ValueError("refine: NULL coords in candidate batch")
+        nlens = np.asarray(pc.list_value_length(col), dtype=np.int64)
+        flat = col.flatten().flatten().to_numpy(zero_copy_only=False)
+        if flat.size != 2 * int(nlens.sum()):
+            raise ValueError("refine: non-2D coordinate rows in batch")
+        pts = flat.astype(np.float64, copy=False).reshape(-1, 2)
+        starts = np.zeros(len(nlens) + 1, dtype=np.int64)
+        np.cumsum(nlens, out=starts[1:])
+        return pts, starts
+
     def refine(batches):
         for batch in batches:
-            pdf = batch.to_pydict()
-            hits = []
-            for ac, bc in zip(pdf["a_coords"], pdf["b_coords"]):
-                A = np.asarray([list(c) for c in ac], dtype=np.float64)
-                B = np.asarray([list(c) for c in bc], dtype=np.float64)
-                hits.append(bool(rings_overlap(A, B)))
+            pa_pts, pa_off = ring_mats(batch.column("a_coords"))
+            pb_pts, pb_off = ring_mats(batch.column("b_coords"))
+            hits = [
+                bool(
+                    rings_overlap(
+                        pa_pts[pa_off[i] : pa_off[i + 1]],
+                        pb_pts[pb_off[i] : pb_off[i + 1]],
+                    )
+                )
+                for i in range(batch.num_rows)
+            ]
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(pdf["a_polygon_id"], pa.string()),
-                    pa.array(pdf["a_ring_index"], pa.int32()),
-                    pa.array(pdf["b_polygon_id"], pa.string()),
-                    pa.array(pdf["b_ring_index"], pa.int32()),
+                    batch.column("a_polygon_id"),
+                    batch.column("a_ring_index"),
+                    batch.column("b_polygon_id"),
+                    batch.column("b_ring_index"),
                     pa.array(hits, pa.bool_()),
                 ],
                 names=[

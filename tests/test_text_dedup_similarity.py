@@ -585,3 +585,27 @@ def test_token_length_percentiles_approx_mode(spark):
         for c in ("p10", "p25", "p50", "p75", "p90"):
             e, a = getattr(exact[lang], c), getattr(appr[lang], c)
             assert abs(a - e) <= max(2.0, 0.05 * e), (lang, c, e, a)
+
+
+def test_dup_clusters_driver_path_equals_distributed(spark, docs):
+    """The size-gated driver union-find fast path (r6) emits exactly
+    the labels of the distributed pointer-jumping rounds — forced onto
+    each path via driver_edges_max."""
+    from simplepolygon_spark.operators.dedup import (
+        dup_clusters,
+        minhash_dup_pairs,
+    )
+
+    pairs = minhash_dup_pairs(docs.limit(400), threshold=0.5).localCheckpoint(
+        eager=True
+    )
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in dup_clusters(pairs, driver_edges_max=10**6).collect()
+    }
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in dup_clusters(pairs, driver_edges_max=0).collect()
+    }
+    assert fast == dist
+    assert fast, "vacuous: no duplicate pairs in the fixture slice"
