@@ -81,9 +81,44 @@ def prepare_training_corpus(
 
     Whole-pipeline gate: q:pipeline_select runs this against one DuckDB
     CTE chain composed of the stages' own proven oracle fragments."""
+    # scale-adaptive spread (guide §2): a small single-file corpus
+    # arrives as ONE split, and everything through the landed stage —
+    # the regex gates, fingerprint normalization, the checkpoint, and
+    # every downstream scan of it — inherits that single partition
+    # (measured: the gate+decontaminate stage alone was ~5 s on one
+    # core at sf1.0, ~1 s spread).  A bare repartition is NOT enough:
+    # Catalyst pushes the deterministic gate filter BELOW the exchange,
+    # so the regex would still evaluate pre-shuffle on one core — the
+    # repartitioned raw corpus is therefore MATERIALIZED (an optimizer
+    # barrier filters cannot cross) and its blocks released the moment
+    # the cleaned corpus lands.  Only in the materializing modes (the
+    # fully-lazy materialize=False contract stays a single pure plan)
+    # and only when under-partitioned — at warehouse scale the input
+    # has many splits and none of this fires.
+    _spread = None
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if (
+        (materialize or stage_dir is not None)
+        and docs.rdd.getNumPartitions() < par
+    ):
+        # persist, not localCheckpoint: the cache is COLUMNAR
+        # (InMemoryRelation), and re-scanning it is ~10x faster than a
+        # checkpoint's row-format blocks (measured 0.14 s vs 1.8 s per
+        # corpus pass at sf1.0) — the barrier property (filters cannot
+        # push below the cached subtree's partitioning) is the same
+        docs = docs.repartition(par).persist()
+        _spread = docs
     n_chars = F.length("text")
     n_punct = F.regexp_count("text", F.lit("[^a-zA-Z0-9\\s]"))
-    gate = (_n_tokens_col() >= F.lit(min_tokens)) & (
+    if "__pt_ntok" in docs.columns:
+        raise ValueError(
+            "prepare_training_corpus: input already has column __pt_ntok"
+        )
+    # evaluate the (regex-heavy) token count ONCE, inside the gate scan,
+    # and LAND it with the cleaned corpus: the budget stage reuses the
+    # landed integers instead of re-tokenizing the whole corpus
+    docs = docs.withColumn("__pt_ntok", _n_tokens_col())
+    gate = (F.col("__pt_ntok") >= F.lit(min_tokens)) & (
         n_punct * F.lit(100) <= n_chars * F.lit(max_punct_pct)
     )
     d = docs.where(gate)
@@ -106,7 +141,17 @@ def prepare_training_corpus(
         d.write.mode("overwrite").parquet(stage_dir)
         d = docs.sparkSession.read.parquet(stage_dir)
     elif materialize:
-        d = d.localCheckpoint(eager=True)
+        # columnar persist + one materializing action, not an eager
+        # localCheckpoint: the dedup and budget stages re-scan this
+        # frame 5+ times, and each checkpoint re-scan paid the
+        # row-format deserialization tax (the dominant cost of the
+        # whole pipeline at sf1.0 — ~1.8 s per pass)
+        d = d.persist()
+        d.count()
+    if _spread is not None:
+        # the landed stage supersedes the raw spread copy — free its
+        # blocks now instead of waiting for driver GC
+        _spread.unpersist(False)
 
     if "_len_score" in d.columns:
         raise ValueError(
@@ -126,6 +171,7 @@ def prepare_training_corpus(
         default_budget=default_budget,
         domain_col=domain_col,
         id_col=id_col,
+        n_tokens_col="__pt_ntok",
     )
 
 

@@ -163,6 +163,7 @@ def token_budget_sample(
     domain_col: str = "lang",
     id_col: str = "doc_id",
     n_buckets: int = 256,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, domain, n_tokens, cum_tokens): the deterministic
     token-budgeted mixture sample — per domain, take docs in
@@ -195,7 +196,15 @@ def token_budget_sample(
     exchange); the subtotal aggregate moves only partials.  Token
     counts are exact integers (``_n_tokens_col``), so cross-engine
     equality is bit-exact.  Bucket-count invariance (n_buckets=1 ≡
-    256) is pinned by test."""
+    256) is pinned by test.
+
+    ``n_tokens_col``: name of a PRECOMPUTED whitespace-token-count
+    column to use instead of deriving ``_n_tokens_col()`` from
+    ``text`` — a caller that already evaluated the (regex-heavy) count
+    upstream and landed it (``prepare_training_corpus`` does) skips a
+    full re-tokenization scan here.  The column must hold exactly
+    ``_n_tokens_col()``'s integers or the sample diverges from the
+    documented contract."""
     if budgets is None:
         budgets = {}
     helpers = ("__tb_h", "__tb_b", "__tb_s", "__tb_off")
@@ -221,10 +230,13 @@ def token_budget_sample(
         ),
     ).otherwise(F.col(domain_col))
     docs = docs.withColumn(domain_col, dom)
+    ntok = (
+        F.col(n_tokens_col) if n_tokens_col is not None else _n_tokens_col()
+    )
     t = docs.select(
         F.col(id_col),
         F.col(domain_col),
-        _n_tokens_col().alias("n_tokens"),
+        ntok.alias("n_tokens"),
         h.alias("__tb_h"),
         b.alias("__tb_b"),
     )
@@ -280,6 +292,13 @@ def decontaminate(train: DataFrame, benchmark: DataFrame) -> DataFrame:
     if fp in train.columns:
         raise ValueError(f"decontaminate: input already has column {fp}")
     train_fp = train.withColumn(fp, fingerprint_col("text"))
+    # the benchmark's regex normalization runs BEFORE its distinct's
+    # shuffle — on a single-split benchmark file that is one core;
+    # spread it when under-partitioned (same adaptive rule as the
+    # minhash signature pass; never fires on a many-split table)
+    par = benchmark.sparkSession.sparkContext.defaultParallelism
+    if benchmark.rdd.getNumPartitions() < par:
+        benchmark = benchmark.repartition(par)
     bench_fp = benchmark.select(fingerprint_col("text").alias(fp)).distinct()
     return train_fp.join(F.broadcast(bench_fp), fp, "left_anti").drop(fp)
 
