@@ -1233,24 +1233,34 @@ def dup_clusters(
     union-find, no collect of the edge list.  ``max_iters`` still
     bounds the loop; hitting it raises rather than returning a
     half-converged labeling."""
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    edges = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    # symmetrize with ONE explode, not a self-union: the union's two
+    # branches each re-evaluate the (possibly expensive, e.g. minhash
+    # verify) pairs subtree, the explode scans it once
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b").persist()
     id_type = pairs.schema["doc_a"].dataType.simpleString()
-    n_edges = edges.count()  # materializes the cache the rounds reuse
-    if n_edges <= driver_edges_max:
-        # one collect (gated by the exact count above) — NOT
-        # toLocalIterator, which fetches the 2x-shuffle-partition
-        # edge partitions as that many sequential mini-jobs
-        labels = _driver_min_label_components(
-            (r.a, r.b) for r in edges.collect()
-        )
+    # ONE probe job instead of count-then-collect: collect at most
+    # limit+1 rows — under the limit that IS the whole edge list (and
+    # the driver is never exposed to more than limit+1 rows), over it
+    # we fall back to the distributed rounds after forcing the cache
+    # the rounds reuse (the short-circuited limit may have skipped
+    # partitions)
+    probe = edges.limit(driver_edges_max + 1).collect()
+    if len(probe) <= driver_edges_max:
+        labels = _driver_min_label_components((r.a, r.b) for r in probe)
         edges.unpersist()
         spark = pairs.sparkSession
         return spark.createDataFrame(
             list(labels.items()), f"doc_id {id_type}, cluster_id {id_type}"
         )
+    del probe
+    edges.count()  # materialize the cache fully for the rounds
     # each iteration references labels THREE times (neighbor join,
     # pointer hop, changed-check); localCheckpoint truncates lineage so
     # the logical plan stays O(1) per round instead of growing 3^k —
