@@ -327,7 +327,17 @@ def rings_overlap(a: np.ndarray, b: np.ndarray) -> bool:
     the discovery kernel, which discards shared endpoints and collinear
     overlaps; a containment whose probes all land exactly on the other
     boundary (other than the identical-ring case) is likewise treated
-    as touching.  Simple rings in, as produced by the decomposition."""
+    as touching.  One degenerate FALSE NEGATIVE window beyond
+    touch-only contacts: if EVERY boundary crossing between the rings
+    happens exactly at a segment endpoint (vertex-transversal crossings
+    are discarded as non-proper by ``segment_intersections``) AND every
+    vertex/midpoint probe of each ring lands outside or ON the other
+    boundary, genuinely intersecting interiors report False.  Requires
+    the rings' vertices to coincide with crossing points AND the probe
+    set to miss the shared interior — measure-zero for real-coordinate
+    layers, but constructible; callers needing those inputs must
+    pre-perturb or add probes.  Simple rings in, as produced by the
+    decomposition."""
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     if (

@@ -20,6 +20,8 @@ precision against cover size exactly as in the PIP join.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -32,11 +34,44 @@ from ..geom import rings_overlap
 from .crosswalk import covers_df
 
 
-def _bucketed_covers(
-    rings: DataFrame, side: str, cover_level: int, bucket_level: int
-) -> DataFrame:
+def derive_bucket_level(cov_a: DataFrame, cov_b: DataFrame) -> int:
+    """Pick the bucket melt level from the cover-range SPAN histogram
+    (one small aggregate over both cover frames) instead of a fixed
+    constant: a bucket sized to the MEDIAN range span keeps ranges per
+    (ring, bucket) near 1 — the property the hand-tuned level-8 default
+    bought on one dataset (commit 96199b0) — for ANY layer extent and
+    cell mix, so a dense small-extent layer can't silently re-create
+    the >100M-row candidate blowup a too-coarse bucket causes, and the
+    melt explode of the single widest range stays bounded (≤ ~4³
+    buckets) via the max-span cap.  Purely a performance knob: any
+    overlapping range pair shares its common cell's bucket at EVERY
+    level, so the candidate set after the range-overlap filter — and
+    therefore the join result — is level-invariant."""
+    row = (
+        cov_a.select((F.col("hi") - F.col("lo") + F.lit(1)).alias("span"))
+        .unionAll(
+            cov_b.select((F.col("hi") - F.col("lo") + F.lit(1)).alias("span"))
+        )
+        .agg(
+            F.expr("percentile(span, 0.5)").alias("med"),
+            F.max("span").alias("mx"),
+        )
+        .first()
+    )
+    if row is None or row["med"] is None:
+        return 8  # empty cover: the historical default, nothing to melt
+
+    def finest_level_with_bucket_at_least(span: float) -> int:
+        # bucket at level L holds 4**(MAX_LEVEL - L) max-level cells
+        return MAX_LEVEL - max(0, math.ceil(math.log(max(span, 1.0), 4)))
+
+    l_fine = finest_level_with_bucket_at_least(row["med"])
+    l_explode_cap = finest_level_with_bucket_at_least(float(row["mx"])) + 3
+    return max(2, min(l_fine, l_explode_cap, MAX_LEVEL))
+
+
+def _melt_buckets(cov: DataFrame, side: str, bucket_level: int) -> DataFrame:
     shift = 2 * (MAX_LEVEL - bucket_level)
-    cov = covers_df(rings, cover_level, MAX_LEVEL)
     return cov.select(
         F.col("polygon_id").alias(f"{side}_polygon_id"),
         F.col("ring_index").alias(f"{side}_ring_index"),
@@ -55,7 +90,7 @@ def overlap_join(
     rings_a: DataFrame,
     rings_b: DataFrame,
     cover_level: int = 10,
-    bucket_level: int = 8,
+    bucket_level: int | None = None,
 ) -> DataFrame:
     """(a_polygon_id, a_ring_index, b_polygon_id, b_ring_index): every
     pair whose ring INTERIORS intersect (``geom.rings_overlap``
@@ -73,9 +108,25 @@ def overlap_join(
     nothing: the larger ring's boundary crosses its own big cell
     somewhere, not necessarily inside the small region.)  Everything
     else refines with the exact kernel, coordinates pulled for those
-    pairs only."""
-    ca = _bucketed_covers(rings_a, "a", cover_level, bucket_level)
-    cb = _bucketed_covers(rings_b, "b", cover_level, bucket_level)
+    pairs only.
+
+    ``bucket_level=None`` (default) derives the melt level from the
+    cover-range span histogram (``derive_bucket_level``) so the bucket
+    granularity tracks the layer's actual cell mix instead of a
+    constant tuned to one dataset; pass an int to pin it.  The covers
+    are persisted for the duration of the candidate job so the
+    histogram pass doesn't recompute the cover kernel."""
+    cov_a = covers_df(rings_a, cover_level, MAX_LEVEL)
+    cov_b = covers_df(rings_b, cover_level, MAX_LEVEL)
+    cached = []
+    if bucket_level is None:
+        # the histogram aggregate and the melt both consume the covers;
+        # persist so the cover kernel runs once per side
+        cov_a, cov_b = cov_a.persist(), cov_b.persist()
+        cached = [cov_a, cov_b]
+        bucket_level = derive_bucket_level(cov_a, cov_b)
+    ca = _melt_buckets(cov_a, "a", bucket_level)
+    cb = _melt_buckets(cov_b, "b", bucket_level)
     ids = ["a_polygon_id", "a_ring_index", "b_polygon_id", "b_ring_index"]
     a_contains = (F.col("a_lo") <= F.col("b_lo")) & (
         F.col("a_hi") >= F.col("b_hi")
@@ -104,6 +155,8 @@ def overlap_join(
         # the call
         .localCheckpoint(eager=True)
     )
+    for c in cached:
+        c.unpersist()
     accepted = cand.where("accept").select(*ids)
 
     need = cand.where(~F.col("accept")).select(*ids)
